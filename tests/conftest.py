@@ -1,0 +1,32 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU platform so
+sharding/pjit code paths are exercised without TPU hardware, and provide
+a session-scoped synthetic NewScenes dataset."""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope='session')
+def synthetic_dataroot(tmp_path_factory):
+    """Generate a small schema-complete synthetic dataset once per session."""
+    from omnihd_scenes_tpu.devkit.synthetic import SyntheticConfig, generate
+
+    root = tmp_path_factory.mktemp('newscenes_synth')
+    generate(str(root), version='v1.0-mini', cfg=SyntheticConfig())
+    return str(root)
+
+
+@pytest.fixture(scope='session')
+def synthetic_db(synthetic_dataroot):
+    from omnihd_scenes_tpu.devkit.database import NewScenes
+
+    return NewScenes(version='v1.0-mini', dataroot=synthetic_dataroot,
+                     verbose=False)
