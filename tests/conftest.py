@@ -1,17 +1,32 @@
 """Test configuration: force JAX onto a virtual 8-device CPU platform so
 sharding/pjit code paths are exercised without TPU hardware, and provide
-a session-scoped synthetic NewScenes dataset."""
+a session-scoped synthetic NewScenes dataset.
+
+This environment pre-imports jax via an `axon` TPU-tunnel site hook and
+pins JAX_PLATFORMS=axon, so plain env-var overrides are too late; we
+retarget the (not yet initialized) backend through jax.config instead.
+"""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ['JAX_PLATFORMS'] = 'cpu'
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
 
 import pytest  # noqa: E402
+
+
+@pytest.fixture(scope='session', autouse=True)
+def _assert_cpu():
+    assert jax.devices()[0].platform == 'cpu', (
+        'tests must run on the virtual CPU mesh, got '
+        f'{jax.devices()}')
 
 
 @pytest.fixture(scope='session')
