@@ -212,8 +212,8 @@ class TestNMS:
         valid = np.asarray(out_valid)
         labels = np.asarray(out_labels)[valid]
         scores_out = np.asarray(out_scores)[valid]
-        assert valid.sum() == 4
-        # class 0: box0 only; class 1: box1 (0.8), box2 (0.6), box0 (0.1).
-        assert sorted(scores_out.tolist()) == pytest.approx(
-            [0.1, 0.6, 0.8, 0.9])
-        assert (labels == 0).sum() == 1 and (labels == 1).sum() == 3
+        # class 0: box0 keeps, box1 suppressed, box2 below score_thr;
+        # class 1: box1 keeps, box0 (0.1) suppressed by box1, box2 keeps.
+        assert valid.sum() == 3
+        assert sorted(scores_out.tolist()) == pytest.approx([0.6, 0.8, 0.9])
+        assert (labels == 0).sum() == 1 and (labels == 1).sum() == 2
