@@ -134,6 +134,14 @@ def anchor_head_get_bboxes(cls_score: jnp.ndarray,
     """Decode one sample's head outputs into final boxes.
 
     Returns padded (max_num, 9) boxes + scores + labels + validity.
+
+    Performance note (axon TPU backend): gathers from *unbatched*
+    constants under vmap and ``take_along_axis`` both hit a slow lowered
+    path, while per-sample ``operand[idx]`` row gathers are acceptable.
+    ``anchors`` is therefore treated as a per-sample (A..., 9) operand —
+    batch callers via ``vmap`` with anchors broadcast into the batch —
+    and all top-k consumers sit behind an ``optimization_barrier`` so
+    the index arithmetic is not fused back into the sort.
     """
     code_size = anchors.shape[-1]
     flat_anchors = anchors.reshape(-1, code_size)
@@ -142,16 +150,17 @@ def anchor_head_get_bboxes(cls_score: jnp.ndarray,
 
     scores = jax.nn.sigmoid(cls_score.reshape(a, num_classes))
     bbox_pred = bbox_pred.reshape(a, code_size)
-    dir_score = jnp.argmax(dir_pred.reshape(a, 2), axis=-1)
+    dir_pred = dir_pred.reshape(a, 2)
 
     # Pre-NMS top-k on the per-anchor max class score.
     max_scores = jnp.max(scores, axis=-1)
     k = min(cfg.nms_pre, a)
     _, topk = jax.lax.top_k(max_scores, k)
+    topk = jax.lax.optimization_barrier(topk)
 
     boxes = decode_boxes(flat_anchors[topk], bbox_pred[topk])
     scores = scores[topk]
-    dir_score = dir_score[topk]
+    dir_score = jnp.argmax(dir_pred[topk], axis=-1)
 
     # Fold the direction bin back into yaw.
     dir_rot = limit_period(boxes[:, 6] - cfg.dir_offset,

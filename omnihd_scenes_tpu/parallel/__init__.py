@@ -1,0 +1,4 @@
+from omnihd_scenes_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                             replicated, shard_batch)
+
+__all__ = ['batch_sharding', 'make_mesh', 'replicated', 'shard_batch']

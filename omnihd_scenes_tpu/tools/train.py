@@ -1,0 +1,116 @@
+"""Training CLI.
+
+Parity target: ``tools/train.py`` + ``tools/dist_train.sh`` in the
+reference — config file + ``--cfg-options`` dotted overrides, work-dir
+logging with env/config dump, seeding, resume.  Multi-device data
+parallelism needs no launcher: one process drives the whole mesh.
+
+Usage:
+    python -m omnihd_scenes_tpu.tools.train configs/pointpillars_radar.py \
+        [--work-dir DIR] [--resume-from CKPT_DIR] [--cfg-options k=v ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import time
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Train a detector')
+    p.add_argument('config')
+    p.add_argument('--work-dir')
+    p.add_argument('--resume-from')
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--cfg-options', nargs='+')
+    p.add_argument('--no-validate', action='store_true')
+    return p.parse_args()
+
+
+def main():
+    from omnihd_scenes_tpu.parallel.mesh import make_mesh
+    from omnihd_scenes_tpu.train.config import Config
+    from omnihd_scenes_tpu.train.detection import (build_datasets,
+                                                   build_model, make_eval_fn,
+                                                   make_loss_fn)
+    from omnihd_scenes_tpu.train.loop import (JsonLogger, TrainState,
+                                              create_train_state,
+                                              load_checkpoint,
+                                              make_train_step, run_training)
+    from omnihd_scenes_tpu.train.optim import make_lr_schedule, make_optimizer
+    from omnihd_scenes_tpu.data.loader import TrainLoader
+
+    args = parse_args()
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_options(args.cfg_options)
+    if args.work_dir:
+        cfg.work_dir = args.work_dir
+    os.makedirs(cfg.work_dir, exist_ok=True)
+    cfg.dump(osp.join(cfg.work_dir, 'config.py'))
+
+    logger = JsonLogger(cfg.work_dir)
+    logger.log({'mode': 'env', 'devices': str(jax.devices()),
+                'n_devices': jax.device_count(),
+                'config': osp.basename(args.config)})
+
+    np.random.seed(args.seed)
+    mesh = make_mesh()
+
+    train_ds, val_ds = build_datasets(cfg)
+    batch_size = cfg.data.samples_per_device * jax.device_count()
+    train_loader = TrainLoader(train_ds, batch_size, seed=args.seed)
+
+    model = build_model(cfg)
+    sample = train_ds[0]
+    variables = model.init(
+        jax.random.PRNGKey(args.seed),
+        sample['points'][None], sample['points_mask'][None], train=False)
+
+    steps_per_epoch = len(train_loader)
+    total_steps = steps_per_epoch * cfg.total_epochs
+    opt_cfg = cfg.optimizer
+    # Optional linear LR scaling (reference tools/train.py:173-175).
+    lr = opt_cfg.lr
+    if cfg.get('auto_scale_lr', False):
+        lr = lr * jax.device_count() / 8
+    schedule = make_lr_schedule(
+        lr, total_steps,
+        policy=cfg.lr_config.get('policy', 'cosine'),
+        warmup_iters=min(cfg.lr_config.get('warmup_iters', 500),
+                         max(total_steps // 10, 1)),
+        warmup_ratio=cfg.lr_config.get('warmup_ratio', 1.0 / 3),
+        step_epochs=cfg.lr_config.get('step', None),
+        steps_per_epoch=steps_per_epoch)
+    tx = make_optimizer(schedule, opt_cfg.get('weight_decay', 0.01),
+                        cfg.get('grad_clip_norm', 35.0))
+
+    state = create_train_state(variables, tx)
+    if args.resume_from:
+        state = load_checkpoint(args.resume_from, state)
+        logger.log({'mode': 'resume', 'step': int(state.step)})
+
+    loss_fn = make_loss_fn(model)
+    train_step = make_train_step(loss_fn, tx)
+
+    eval_fn = None
+    if not args.no_validate:
+        eval_fn = make_eval_fn(cfg, model, val_ds, mesh)
+
+    t0 = time.time()
+    state = run_training(
+        state, train_step, train_loader, cfg.total_epochs, mesh=mesh,
+        logger=logger, log_interval=cfg.get('log_interval', 50),
+        ckpt_dir=osp.join(cfg.work_dir, 'ckpts'),
+        ckpt_interval=cfg.get('ckpt_interval', 1),
+        eval_fn=eval_fn, eval_interval=cfg.get('eval_interval', 1))
+    logger.log({'mode': 'done', 'wall_time': time.time() - t0,
+                'final_step': int(state.step)})
+
+
+if __name__ == '__main__':
+    main()
