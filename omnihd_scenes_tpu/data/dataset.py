@@ -54,6 +54,13 @@ class NewScenesDetDataset:
                  use_valid_flag: bool = True,
                  test_mode: bool = False,
                  point_shuffle: bool = False,
+                 use_camera: bool = False,
+                 image_scale: float = 0.5,
+                 front_back_scale: float = 0.5,
+                 image_target_hw: Optional[Sequence[int]] = None,
+                 load_depth_gt: bool = False,
+                 depth_stride: int = 4,
+                 camera_depth_range: Sequence[float] = (1.0, 60.0, 1.0),
                  seed: int = 0):
         self.infos = load_infos(ann_file)
         self.modality = modality
@@ -69,6 +76,14 @@ class NewScenesDetDataset:
         self.use_valid_flag = use_valid_flag
         self.test_mode = test_mode
         self.point_shuffle = point_shuffle
+        self.use_camera = use_camera
+        self.image_scale = image_scale
+        self.front_back_scale = front_back_scale
+        self.image_target_hw = (tuple(image_target_hw)
+                                if image_target_hw else None)
+        self.load_depth_gt = load_depth_gt
+        self.depth_stride = depth_stride
+        self.camera_depth_range = list(camera_depth_range)
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -144,14 +159,43 @@ class NewScenesDetDataset:
         out_boxes[n:, :2] = -1e4
         return out_boxes, out_labels, out_mask
 
+    def _load_camera(self, info: Dict) -> Dict[str, np.ndarray]:
+        from omnihd_scenes_tpu.data.image_loading import load_camera_data
+
+        cam = load_camera_data(info, scale=self.image_scale,
+                               front_back_scale=self.front_back_scale,
+                               target_hw=self.image_target_hw)
+        if self.load_depth_gt:
+            from omnihd_scenes_tpu.data.depth_loading import (
+                gaussian_depth_target, load_gt_depth)
+
+            hw = cam['imgs'].shape[1:3]
+            gauss, mins = [], []
+            for cam_type, cam_info in info['cams'].items():
+                dmap = load_gt_depth(
+                    cam_info['data_path'], hw, self.image_scale,
+                    self.front_back_scale,
+                    is_front_back=cam_type in ('camera_front',
+                                               'camera_back'))
+                g, m = gaussian_depth_target(dmap, self.depth_stride,
+                                             self.camera_depth_range)
+                gauss.append(g)
+                mins.append(m)
+            cam['depth_gaussian'] = np.stack(gauss)
+            cam['depth_min'] = np.stack(mins)
+        return cam
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         info = self.infos[idx]
-        points, pmask = self._load_points(info)
-        if self.point_shuffle and not self.test_mode:
-            perm = self.rng.permutation(points.shape[0])
-            points, pmask = points[perm], pmask[perm]
-        sample = {'points': points, 'points_mask': pmask,
-                  'index': np.int32(idx)}
+        sample = {'index': np.int32(idx)}
+        if self.modality in ('radar', 'lidar'):
+            points, pmask = self._load_points(info)
+            if self.point_shuffle and not self.test_mode:
+                perm = self.rng.permutation(points.shape[0])
+                points, pmask = points[perm], pmask[perm]
+            sample.update(points=points, points_mask=pmask)
+        if self.use_camera:
+            sample.update(self._load_camera(info))
         if not self.test_mode:
             boxes, labels, mask = self._load_annotations(info)
             sample.update(gt_boxes=boxes, gt_labels=labels, gt_mask=mask)
@@ -198,7 +242,7 @@ class NewScenesDetDataset:
 
         submission = {
             'meta': dict(use_lidar=self.modality == 'lidar',
-                         use_camera=False,
+                         use_camera=self.use_camera,
                          use_radar=self.modality == 'radar'),
             'results': annos,
         }

@@ -1,0 +1,166 @@
+"""Lift-Splat-Shoot camera view transform (flax, TPU-native splat).
+
+Parity target: ``LiftSplatShoot`` with bev_pool_v2
+(reference ``bevfusion/detectors/cam_stream_lss_bevpoolv2.py:18-376``):
+- frustum of (D, fH, fW) image-plane points (``create_frustum``);
+- ``CamEncode``: one 1x1 conv -> D softmax depth bins + C features;
+- geometry: (u*d, v*d, d) through the img->lidar rotation/translation
+  (``get_geometry``);
+- splat into a (Z, Y, X, C) grid — the CUDA rank/interval machinery
+  becomes a chunked scatter-add (:mod:`omnihd_scenes_tpu.ops.bev_pool`);
+- z-collapse concat + conv BEV encoder (``s2c`` + ``bevencode``).
+
+Also includes the BEVDepth-style ``DepthNet`` variant
+(``cam_stream_lss_bevpoolv2_depthnet.py:537-582``) used by the
+``BEVFUSION_depth`` config, with depth supervision losses (BCE one-hot /
+Gaussian KLD) in :mod:`omnihd_scenes_tpu.models.depth_loss`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omnihd_scenes_tpu.models.layers import ConvBNReLU
+from omnihd_scenes_tpu.ops.bev_pool import frustum_voxel_ids, lss_splat
+
+
+@dataclass(frozen=True)
+class LSSConfig:
+    final_dim: Tuple[int, int] = (544, 960)    # padded input image H, W
+    downsample: int = 4                         # feature stride
+    camera_depth_range: Tuple[float, float, float] = (1.0, 60.0, 1.0)
+    pc_range: Tuple[float, ...] = (-60, -40, -3.0, 60, 40, 5.0)
+    grid: float = 0.5
+    num_views: int = 6
+    inputC: int = 256                           # image feature channels
+    camC: int = 64                              # lifted feature channels
+    outC: int = 256                             # BEV output channels
+
+    @property
+    def feat_hw(self) -> Tuple[int, int]:
+        return (self.final_dim[0] // self.downsample,
+                self.final_dim[1] // self.downsample)
+
+    @property
+    def depth_bins(self) -> int:
+        d0, d1, dd = self.camera_depth_range
+        return int((d1 - d0) / dd)
+
+    @property
+    def bev_nx(self) -> Tuple[int, int, int]:
+        """(nx, ny, nz) voxel counts."""
+        return (int((self.pc_range[3] - self.pc_range[0]) / self.grid),
+                int((self.pc_range[4] - self.pc_range[1]) / self.grid),
+                int((self.pc_range[5] - self.pc_range[2]) / self.grid))
+
+    def frustum(self) -> np.ndarray:
+        """(D, fH, fW, 3) image-plane (u, v, depth) sample points."""
+        ogf_h, ogf_w = self.final_dim
+        f_h, f_w = self.feat_hw
+        d0, d1, dd = self.camera_depth_range
+        ds = np.arange(d0, d1, dd, dtype=np.float32)
+        xs = np.linspace(0, ogf_w - 1, f_w, dtype=np.float32)
+        ys = np.linspace(0, ogf_h - 1, f_h, dtype=np.float32)
+        grid = np.zeros((len(ds), f_h, f_w, 3), np.float32)
+        grid[..., 0] = xs[None, None, :]
+        grid[..., 1] = ys[None, :, None]
+        grid[..., 2] = ds[:, None, None]
+        return grid
+
+
+class CamEncode(nn.Module):
+    """1x1 conv -> (D softmax depth, C context features)."""
+
+    depth_bins: int
+    cam_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.depth_bins + self.cam_channels, (1, 1))(x)
+        depth = jax.nn.softmax(x[..., :self.depth_bins], axis=-1)
+        feat = x[..., self.depth_bins:]
+        return feat, depth
+
+
+class DepthNet(nn.Module):
+    """BEVDepth-style depth head: a small residual trunk for the depth
+    logits plus a context branch (reference DepthNet, simplified to the
+    conv schedule that matters: BN-mlp trunk -> depth, 1x1 -> context)."""
+
+    depth_bins: int
+    cam_channels: int
+    mid_channels: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ctx = nn.Conv(self.cam_channels, (1, 1))(x)
+        d = ConvBNReLU(self.mid_channels, (3, 3))(x, train)
+        d = ConvBNReLU(self.mid_channels, (3, 3))(d, train)
+        depth_logits = nn.Conv(self.depth_bins, (1, 1))(d)
+        depth = jax.nn.softmax(depth_logits, axis=-1)
+        return ctx, depth, depth_logits
+
+
+class BevEncoderConvs(nn.Module):
+    """Z-collapsed BEV conv stack (reference ``bevencode`` Sequential:
+    cz -> cz -> 512 -> 512 -> inputC, all 3x3 Conv-BN-ReLU)."""
+
+    outC: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        cz = x.shape[-1]
+        x = ConvBNReLU(cz, (3, 3))(x, train)
+        x = ConvBNReLU(512, (3, 3))(x, train)
+        x = ConvBNReLU(512, (3, 3))(x, train)
+        x = ConvBNReLU(self.outC, (3, 3))(x, train)
+        return x
+
+
+class LiftSplatShoot(nn.Module):
+    """Camera features + geometry -> BEV feature map.
+
+    Input: per-sample camera features (N, fH, fW, inputC) and img->lidar
+    rots/trans (N, 3, 3)/(N, 3).  Output: (ny, nx, outC) BEV features
+    (y-major like the pillar canvas) + depth distributions.
+    """
+
+    cfg: LSSConfig = LSSConfig()
+    use_depthnet: bool = False
+
+    @nn.compact
+    def __call__(self, cam_feats, rots, trans, train: bool = True):
+        cfg = self.cfg
+        nx, ny, nz = cfg.bev_nx
+        frustum = jnp.asarray(cfg.frustum())
+
+        if self.use_depthnet:
+            feat, depth, depth_logits = DepthNet(
+                cfg.depth_bins, cfg.camC)(cam_feats, train)
+        else:
+            feat, depth = CamEncode(cfg.depth_bins, cfg.camC)(cam_feats)
+            depth_logits = None
+        # feat: (B, N, fH, fW, camC); depth: (B, N, fH, fW, D)
+
+        def splat_one(feat_b, depth_b, rots_b, trans_b):
+            ids = frustum_voxel_ids(
+                frustum, rots_b, trans_b,
+                bev_start=(cfg.pc_range[0], cfg.pc_range[1], cfg.pc_range[2]),
+                bev_voxel=(cfg.grid,) * 3,
+                bev_nx=(nx, ny, nz))                   # (N, D, fH, fW)
+            depth_nd = jnp.moveaxis(depth_b, -1, 1)     # (N, D, fH, fW)
+            pooled = lss_splat(depth_nd, feat_b, ids, nz * ny * nx)
+            return pooled.reshape(nz, ny, nx, cfg.camC)
+
+        vox = jax.vmap(splat_one)(feat, depth, rots, trans)
+        # Collapse Z into channels: (B, ny, nx, nz * camC).
+        b = vox.shape[0]
+        bev = jnp.moveaxis(vox, 1, -2).reshape(b, ny, nx, nz * cfg.camC)
+        bev = BevEncoderConvs(cfg.outC)(bev, train)
+        return bev, depth, depth_logits
