@@ -37,28 +37,32 @@ def main():
 
     variables = model.init(jax.random.PRNGKey(0), points[:1], mask[:1],
                            train=False)
-    anchors = jax.numpy.asarray(cfg.anchors())
+    anchors_np = cfg.anchors()
+    # Batched anchors as a real argument (unbatched vmap constants hit a
+    # slow gather path on this backend).
+    anchors_b = np.ascontiguousarray(
+        np.broadcast_to(anchors_np[None], (batch,) + anchors_np.shape))
     decode_cfg = DecodeCfg()  # nms_pre=1000, max_num=500
 
     @jax.jit
-    def infer(params, batch_stats, pts, msk):
+    def infer(params, batch_stats, pts, msk, anc):
         out = model.apply({'params': params, 'batch_stats': batch_stats},
                           pts, msk, train=False)
         return jax.vmap(
-            lambda c, b, d: anchor_head_get_bboxes(c, b, d, anchors,
-                                                   decode_cfg))(
-            out['cls_score'], out['bbox_pred'], out['dir_pred'])
+            lambda c, b, d, a: anchor_head_get_bboxes(c, b, d, a,
+                                                      decode_cfg))(
+            out['cls_score'], out['bbox_pred'], out['dir_pred'], anc)
 
     params, stats = variables['params'], variables.get('batch_stats', {})
 
     # Warmup / compile.
-    res = infer(params, stats, points, mask)
+    res = infer(params, stats, points, mask, anchors_b)
     jax.block_until_ready(res)
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = infer(params, stats, points, mask)
+        res = infer(params, stats, points, mask, anchors_b)
     jax.block_until_ready(res)
     dt = time.perf_counter() - t0
 

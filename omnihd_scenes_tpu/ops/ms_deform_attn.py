@@ -1,0 +1,91 @@
+"""Multi-scale deformable attention (XLA formulation).
+
+Parity target: mmcv's ``ms_deform_attn_forward/backward`` CUDA kernels,
+loaded by the reference at
+``bevformer/modules/multi_scale_deformable_attn_function.py:11-12`` —
+the mathematical spec is the pure-PyTorch fallback
+``multi_scale_deformable_attn_pytorch`` (used by the reference when no
+CUDA, ``temporal_self_attention.py:254-257``): per level, bilinear
+sampling of the value map at predicted locations, weighted by the
+attention weights, summed over levels and points.
+
+Bilinear sampling follows ``F.grid_sample(align_corners=False,
+padding_mode='zeros')`` semantics: normalized locations in [0, 1] map to
+pixel centers via ``loc * size - 0.5`` and out-of-bounds taps read 0.
+Autodiff provides the backward pass.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(value: jnp.ndarray, loc_xy: jnp.ndarray) -> jnp.ndarray:
+    """Sample a (H, W, C) map at continuous pixel-center coords.
+
+    loc_xy: (..., 2) in *pixel* units where (0, 0) is the center of the
+    top-left texel (grid_sample align_corners=False after the
+    ``loc * size - 0.5`` shift).  OOB taps contribute zero.
+    """
+    h, w, c = value.shape
+    x, y = loc_xy[..., 0], loc_xy[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def tap(xi, yi, wgt):
+        ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        v = value[yi, xi]
+        return v * (wgt * ok)[..., None]
+
+    return (tap(x0, y0, wx0 * wy0) + tap(x0 + 1, y0, wx1 * wy0)
+            + tap(x0, y0 + 1, wx0 * wy1) + tap(x0 + 1, y0 + 1, wx1 * wy1))
+
+
+def multi_scale_deformable_attn(value: jnp.ndarray,
+                                spatial_shapes: Sequence[Tuple[int, int]],
+                                sampling_locations: jnp.ndarray,
+                                attention_weights: jnp.ndarray) -> jnp.ndarray:
+    """Deformable attention for one sample (vmap over batch).
+
+    Args:
+        value: (sum_l H_l*W_l, num_heads, head_dim).
+        spatial_shapes: static list of (H_l, W_l).
+        sampling_locations: (num_query, num_heads, num_levels, num_points,
+            2) normalized to [0, 1].
+        attention_weights: (num_query, num_heads, num_levels, num_points).
+
+    Returns:
+        (num_query, num_heads * head_dim).
+    """
+    nq, nh, nl, np_, _ = sampling_locations.shape
+    head_dim = value.shape[-1]
+
+    out = jnp.zeros((nq, nh, head_dim), value.dtype)
+    offset = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value[offset:offset + h * w]                  # (H*W, nh, d)
+        offset += h * w
+        v = v.reshape(h, w, nh, head_dim)
+        loc = sampling_locations[:, :, lvl]               # (nq, nh, np, 2)
+        pix = jnp.stack([loc[..., 0] * w - 0.5,
+                         loc[..., 1] * h - 0.5], axis=-1)
+
+        def sample_head(vh, loch):
+            # vh: (h, w, d); loch: (nq, np, 2) -> (nq, np, d)
+            return bilinear_sample(vh, loch)
+
+        sampled = jax.vmap(sample_head, in_axes=(2, 1), out_axes=1)(
+            v, pix)                                       # (nq, nh, np, d)
+        wgt = attention_weights[:, :, lvl]                # (nq, nh, np)
+        out = out + jnp.sum(sampled * wgt[..., None], axis=2)
+
+    return out.reshape(nq, nh * head_dim)

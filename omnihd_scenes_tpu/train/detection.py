@@ -66,17 +66,26 @@ def make_loss_fn(model: PointPillars, head_cfg: HeadLossConfig = None):
 
 def make_predict_fn(model: PointPillars, decode_cfg: DecodeCfg = None):
     decode_cfg = decode_cfg or DecodeCfg()
-    anchors = jnp.asarray(model.cfg.anchors())
+    anchors_np = model.cfg.anchors()
 
     @jax.jit
-    def predict(params, batch_stats, points, points_mask):
+    def predict(params, batch_stats, points, points_mask, anchors_b):
         out = model.apply({'params': params, 'batch_stats': batch_stats},
                           points, points_mask, train=False)
-        return jax.vmap(partial(anchor_head_get_bboxes, cfg=decode_cfg),
-                        in_axes=(0, 0, 0, None))(
-            out['cls_score'], out['bbox_pred'], out['dir_pred'], anchors)
+        return jax.vmap(partial(anchor_head_get_bboxes, cfg=decode_cfg))(
+            out['cls_score'], out['bbox_pred'], out['dir_pred'], anchors_b)
 
-    return predict
+    def predict_with_anchors(params, batch_stats, points, points_mask):
+        # Anchors are materialized per batch and passed as a *batched*
+        # argument: gathering from an unbatched vmap constant hits a
+        # pathologically slow path on this backend.
+        b = points.shape[0]
+        anchors_b = np.broadcast_to(
+            anchors_np[None], (b,) + anchors_np.shape)
+        return predict(params, batch_stats, points, points_mask,
+                       np.ascontiguousarray(anchors_b))
+
+    return predict_with_anchors
 
 
 def run_inference(predict_fn, state, dataset, batch_size: int,
