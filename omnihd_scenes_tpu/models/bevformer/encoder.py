@@ -138,10 +138,14 @@ class BEVFormerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, bev_query, bev_pos, cam_values, lidar2img, img_hw,
-                 cam_spatial_shapes, prev_bev=None, shift=None):
+                 cam_spatial_shapes, prev_bev=None, shift=None,
+                 has_prev=None):
         """bev_query/bev_pos: (nq, C); cam_values: (num_cam, len, C);
         lidar2img (num_cam, 4, 4); prev_bev (nq, C) or None;
-        shift (2,) normalized BEV shift."""
+        shift (2,) normalized BEV shift; has_prev: optional traced bool —
+        when False the temporal queue degrades to [current, current]
+        with unshifted references (reference scene-boundary behavior,
+        ``encoder.py:203-211``)."""
         nq = self.bev_h * self.bev_w
         z_range = self.pc_range[5] - self.pc_range[2]
         ref_3d = jnp.asarray(get_reference_points_3d(
@@ -156,16 +160,20 @@ class BEVFormerEncoder(nn.Module):
         shift_ref_2d = ref_2d + shift[None, None, :]
 
         if prev_bev is None:
-            prev_bev = bev_query
-            ref_queue = jnp.stack([ref_2d, ref_2d])      # (queue, nq, 1, 2)
+            use_prev = jnp.asarray(False)
+            prev_bev = jnp.zeros_like(bev_query)
         else:
-            ref_queue = jnp.stack([shift_ref_2d, ref_2d])
+            use_prev = (jnp.asarray(True) if has_prev is None
+                        else jnp.asarray(has_prev))
+        ref_prev = jnp.where(use_prev, shift_ref_2d, ref_2d)
+        ref_queue = jnp.stack([ref_prev, ref_2d])        # (queue, nq, 1, 2)
 
         bev_spatial_shapes = ((self.bev_h, self.bev_w),)
 
         output = bev_query
         for i in range(self.num_layers):
-            value_queue = jnp.stack([prev_bev, output])
+            prev_val = jnp.where(use_prev, prev_bev, output)
+            value_queue = jnp.stack([prev_val, output])
             output = BEVFormerLayer(
                 self.embed_dims, self.num_heads, self.feedforward_channels,
                 num_cams=self.num_cams, name=f'layer_{i}')(

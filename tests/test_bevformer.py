@@ -1,0 +1,165 @@
+"""BEVFormer stack tests on tiny shapes: forward, temporal recurrence,
+Hungarian loss, NMS-free decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnihd_scenes_tpu.models.bbox_coder import (NMSFreeCoderCfg,
+                                                 denormalize_bbox,
+                                                 nms_free_decode,
+                                                 normalize_bbox)
+from omnihd_scenes_tpu.models.bevformer import (BEVFormerConfig,
+                                                BEVFormerDetector,
+                                                bevformer_head_loss,
+                                                grid_mask)
+from omnihd_scenes_tpu.models.hungarian import hungarian_match
+
+TINY = BEVFormerConfig(
+    bev_h=8, bev_w=12, num_query=16, embed_dims=32,
+    encoder_layers=1, decoder_layers=2, num_cams=2, queue_length=2,
+    pc_range=(-8, -8, -3.0, 8, 8, 5.0),
+    resnet_depth=18, resnet_out_indices=(3,), img_hw=(32, 48))
+
+
+def _lidar2img(n=2):
+    # Simple forward-looking pinhole per camera.
+    intr = np.array([[30.0, 0, 24, 0], [0, 30.0, 16, 0],
+                     [0, 0, 1, 0], [0, 0, 0, 1]])
+    cams = []
+    for i in range(n):
+        yaw = i * np.pi
+        c, s = np.cos(yaw), np.sin(yaw)
+        cam2lidar = np.array([[0, -s, c, 0], [0, c, s, 0],
+                              [-1, 0, 0, 1.5], [0, 0, 0, 1]])
+        # lidar2cam then intrinsics.
+        cams.append(intr @ np.linalg.inv(cam2lidar.T @ np.eye(4)))
+    return np.stack(cams).astype(np.float32)
+
+
+@pytest.fixture(scope='module')
+def model_and_vars():
+    model = BEVFormerDetector(TINY)
+    rng = np.random.RandomState(0)
+    q, n = 2, 2
+    imgs = rng.randn(q, n, 32, 48, 3).astype(np.float32)
+    can_bus = np.zeros((q, 18), np.float32)
+    can_bus[:, 0] = 0.5  # small forward delta
+    l2i = np.stack([_lidar2img(n)] * q)
+    has_prev = np.array([False, True])
+    variables = model.init(jax.random.PRNGKey(0), imgs, can_bus, l2i,
+                           has_prev, train=False)
+    return model, variables, imgs, can_bus, l2i, has_prev
+
+
+class TestForward:
+    def test_output_shapes(self, model_and_vars):
+        model, variables, imgs, can_bus, l2i, has_prev = model_and_vars
+        out = model.apply(variables, imgs, can_bus, l2i, has_prev,
+                          train=False)
+        L, nq = TINY.decoder_layers, TINY.num_query
+        assert out['all_cls_scores'].shape == (L, nq, 4)
+        assert out['all_bbox_preds'].shape == (L, nq, 10)
+        assert out['bev_embed'].shape == (TINY.bev_h * TINY.bev_w,
+                                          TINY.embed_dims)
+        assert np.all(np.isfinite(np.asarray(out['all_bbox_preds'])))
+
+    def test_temporal_state_matters(self, model_and_vars):
+        """Zeroing the history (has_prev False) changes the output."""
+        model, variables, imgs, can_bus, l2i, _ = model_and_vars
+        out_t = model.apply(variables, imgs, can_bus, l2i,
+                            np.array([False, True]), train=False)
+        out_f = model.apply(variables, imgs, can_bus, l2i,
+                            np.array([False, False]), train=False)
+        assert not np.allclose(np.asarray(out_t['bev_embed']),
+                               np.asarray(out_f['bev_embed']), atol=1e-6)
+
+    def test_streaming_matches_queue(self, model_and_vars):
+        """forward_stream with explicit prev_bev reproduces the queue
+        forward's temporal behavior."""
+        model, variables, imgs, can_bus, l2i, _ = model_and_vars
+        # Frame 0 encoder-only, then frame 1 with that bev.
+        bev0 = model.apply(variables, imgs[0], can_bus[0], l2i[0],
+                           method=lambda m, *a: m.pts_bbox_head.get_bev(
+                               m.extract_img_feat(a[0], train=False),
+                               a[1], a[2], (32, 48)))
+        out_stream = model.apply(
+            variables, imgs[1], can_bus[1], l2i[1], bev0, jnp.asarray(True),
+            method=BEVFormerDetector.forward_stream)
+        out_queue = model.apply(variables, imgs, can_bus, l2i,
+                                np.array([False, True]), train=False)
+        assert np.allclose(np.asarray(out_stream['bev_embed']),
+                           np.asarray(out_queue['bev_embed']), atol=1e-4)
+
+
+class TestLossAndDecode:
+    def _gt(self):
+        boxes = jnp.array([
+            [1.0, 2.0, -0.5, 2.0, 4.0, 1.5, 0.3, 0.5, 0.0],
+            [-3.0, 1.0, -0.4, 1.8, 4.2, 1.6, -0.7, 0.0, 0.0],
+        ])
+        labels = jnp.array([0, 2], jnp.int32)
+        mask = jnp.array([True, True])
+        return boxes, labels, mask
+
+    def test_normalize_round_trip(self):
+        boxes, _, _ = self._gt()
+        rec = denormalize_bbox(normalize_bbox(boxes))
+        assert np.allclose(np.asarray(rec), np.asarray(boxes), atol=1e-5)
+
+    def test_hungarian_matches_valid_gts(self):
+        rng = np.random.RandomState(0)
+        cls = jnp.asarray(rng.randn(16, 4).astype(np.float32))
+        preds = jnp.asarray(rng.randn(16, 10).astype(np.float32))
+        boxes, labels, mask = self._gt()
+        codes = normalize_bbox(boxes)
+        matched, pos = hungarian_match(cls, preds, codes, labels, mask)
+        assert int(pos.sum()) == 2
+        assert np.all(np.asarray(matched) >= 0)
+        # Invalid GT not matched.
+        mask2 = jnp.array([True, False])
+        matched2, pos2 = hungarian_match(cls, preds, codes, labels, mask2)
+        assert int(pos2.sum()) == 1
+        assert int(matched2[1]) == -1
+
+    def test_head_loss_perfect_predictions(self):
+        boxes, labels, mask = self._gt()
+        codes = normalize_bbox(boxes)
+        nq, L = 16, 2
+        preds = jnp.tile(jnp.asarray([[100.0] * 10]), (nq, 1))
+        preds = preds.at[0].set(codes[0]).at[1].set(codes[1])
+        cls = jnp.full((nq, 4), -12.0)
+        cls = cls.at[0, 0].set(12.0).at[1, 2].set(12.0)
+        all_cls = jnp.stack([cls] * L)
+        all_preds = jnp.stack([preds] * L)
+        losses = bevformer_head_loss(all_cls, all_preds, boxes, labels, mask)
+        assert float(losses['loss_bbox']) < 1e-4
+        assert float(losses['loss_cls']) < 1e-2
+
+    def test_nms_free_decode(self):
+        boxes, labels, mask = self._gt()
+        codes = normalize_bbox(boxes)
+        nq = 16
+        preds = jnp.zeros((nq, 10)).at[3].set(codes[0]).at[7].set(codes[1])
+        cls = jnp.full((nq, 4), -10.0)
+        cls = cls.at[3, 0].set(10.0).at[7, 2].set(10.0)
+        out_boxes, scores, out_labels, valid = nms_free_decode(
+            cls, preds, NMSFreeCoderCfg(max_num=8))
+        v = np.asarray(valid)
+        top2 = np.argsort(-np.asarray(scores))[:2]
+        assert v[top2].all()
+        got = sorted(np.asarray(out_labels)[top2].tolist())
+        assert got == [0, 2]
+        # Box recovered.
+        b = np.asarray(out_boxes)[top2]
+        xs = sorted(b[:, 0].tolist())
+        assert abs(xs[0] + 3.0) < 1e-4 and abs(xs[1] - 1.0) < 1e-4
+
+
+class TestGridMask:
+    def test_masks_fraction(self):
+        imgs = jnp.ones((2, 16, 16, 3))
+        out = grid_mask(imgs, jax.random.PRNGKey(0), prob=1.0)
+        frac = float(jnp.mean(out))
+        assert 0.05 < frac < 0.95  # something masked, not everything

@@ -1,0 +1,87 @@
+"""Deformable attention op: grid_sample parity + algebraic checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omnihd_scenes_tpu.ops.ms_deform_attn import (bilinear_sample,
+                                                  multi_scale_deformable_attn)
+
+
+class TestBilinearSample:
+    def test_exact_at_centers(self):
+        rng = np.random.RandomState(0)
+        v = jnp.asarray(rng.randn(4, 5, 3).astype(np.float32))
+        # Sampling exactly at texel centers returns the texel.
+        locs = jnp.array([[0.0, 0.0], [2.0, 1.0], [4.0, 3.0]])
+        out = bilinear_sample(v, locs)
+        assert np.allclose(out[0], v[0, 0], atol=1e-6)
+        assert np.allclose(out[1], v[1, 2], atol=1e-6)
+        assert np.allclose(out[2], v[3, 4], atol=1e-6)
+
+    def test_midpoint_interpolation(self):
+        v = jnp.zeros((2, 2, 1)).at[0, 0, 0].set(1.0).at[1, 1, 0].set(3.0)
+        out = bilinear_sample(v, jnp.array([[0.5, 0.5]]))
+        # Average of the four corners: (1 + 0 + 0 + 3)/4.
+        assert np.isclose(float(out[0, 0]), 1.0)
+
+    def test_out_of_bounds_zero(self):
+        v = jnp.ones((3, 3, 1))
+        out = bilinear_sample(v, jnp.array([[-2.0, 0.0], [5.0, 5.0]]))
+        assert np.allclose(out, 0.0)
+
+    def test_border_partial(self):
+        v = jnp.ones((3, 3, 1))
+        # Half outside: only two in-bounds taps with weight 0.25 each...
+        out = bilinear_sample(v, jnp.array([[-0.5, 1.0]]))
+        assert np.isclose(float(out[0, 0]), 0.5)
+
+
+class TestMSDeformAttn:
+    def test_weighted_sum_semantics(self):
+        """One level, weights concentrated on one point -> pure sample."""
+        rng = np.random.RandomState(1)
+        h, w, nh, d = 4, 6, 2, 8
+        value = jnp.asarray(rng.randn(h * w, nh, d).astype(np.float32))
+        nq, npts = 3, 2
+        locs = jnp.asarray(rng.uniform(0.2, 0.8, (nq, nh, 1, npts, 2))
+                           .astype(np.float32))
+        weights = jnp.zeros((nq, nh, 1, npts)).at[:, :, :, 0].set(1.0)
+
+        out = multi_scale_deformable_attn(value, ((h, w),), locs, weights)
+        assert out.shape == (nq, nh * d)
+
+        # Manual single-point sample.
+        vmap = np.asarray(value).reshape(h, w, nh, d)
+        for q in range(nq):
+            for hd in range(nh):
+                x = float(locs[q, hd, 0, 0, 0]) * w - 0.5
+                y = float(locs[q, hd, 0, 0, 1]) * h - 0.5
+                ref = np.asarray(bilinear_sample(
+                    jnp.asarray(vmap[:, :, hd]), jnp.array([[x, y]])))[0]
+                assert np.allclose(out[q, hd * d:(hd + 1) * d], ref,
+                                   atol=1e-5)
+
+    def test_multi_level_sums(self):
+        rng = np.random.RandomState(2)
+        shapes = ((4, 4), (2, 2))
+        total = sum(h * w for h, w in shapes)
+        value = jnp.asarray(rng.randn(total, 1, 4).astype(np.float32))
+        locs = jnp.full((2, 1, 2, 1, 2), 0.5)
+        weights = jnp.full((2, 1, 2, 1), 0.5)
+        out = multi_scale_deformable_attn(value, shapes, locs, weights)
+        assert out.shape == (2, 4)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_gradients_flow(self):
+        rng = np.random.RandomState(3)
+        value = jnp.asarray(rng.randn(16, 1, 4).astype(np.float32))
+        locs = jnp.asarray(rng.uniform(0.3, 0.7, (2, 1, 1, 2, 2))
+                           .astype(np.float32))
+        weights = jnp.full((2, 1, 1, 2), 0.5)
+
+        g_v, g_l = jax.grad(
+            lambda v, l: jnp.sum(multi_scale_deformable_attn(
+                v, ((4, 4),), l, weights) ** 2), argnums=(0, 1))(value, locs)
+        assert float(jnp.abs(g_v).sum()) > 0
+        assert float(jnp.abs(g_l).sum()) > 0  # grads through locations
