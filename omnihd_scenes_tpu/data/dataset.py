@@ -61,6 +61,8 @@ class NewScenesDetDataset:
                  load_depth_gt: bool = False,
                  depth_stride: int = 4,
                  camera_depth_range: Sequence[float] = (1.0, 60.0, 1.0),
+                 load_occ: bool = False,
+                 occ_size: Sequence[int] = (240, 160, 16),
                  seed: int = 0):
         self.infos = load_infos(ann_file)
         self.modality = modality
@@ -84,6 +86,8 @@ class NewScenesDetDataset:
         self.load_depth_gt = load_depth_gt
         self.depth_stride = depth_stride
         self.camera_depth_range = list(camera_depth_range)
+        self.load_occ = load_occ
+        self.occ_size = tuple(occ_size)
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -185,6 +189,24 @@ class NewScenesDetDataset:
             cam['depth_min'] = np.stack(mins)
         return cam
 
+    def _load_occ(self, info: Dict) -> np.ndarray:
+        """Occupancy GT: sparse (N, 4) [i, j, k, cls] npz -> dense grid.
+
+        The occ path derives from the lidar path (reference
+        ``tools/merge_data_with_occ.py:8-26``: lidar/*.bin ->
+        occ_gt/*.npz); parity with ``LoadOccupancy_Newscenes``
+        (``pipelines/loading.py:69-108``).
+        """
+        occ_path = info.get('occ_path')
+        if occ_path is None:
+            occ_path = info['lidar_path'].replace(
+                '/lidar/', '/occ_gt/').replace('.bin', '.npz')
+        occ = np.load(occ_path)['occ_gt']
+        grid = np.zeros(self.occ_size, np.int32)
+        grid[occ[:, 0].astype(int), occ[:, 1].astype(int),
+             occ[:, 2].astype(int)] = occ[:, 3]
+        return grid
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         info = self.infos[idx]
         sample = {'index': np.int32(idx)}
@@ -196,6 +218,8 @@ class NewScenesDetDataset:
             sample.update(points=points, points_mask=pmask)
         if self.use_camera:
             sample.update(self._load_camera(info))
+        if self.load_occ:
+            sample['gt_occ'] = self._load_occ(info)
         if not self.test_mode:
             boxes, labels, mask = self._load_annotations(info)
             sample.update(gt_boxes=boxes, gt_labels=labels, gt_mask=mask)

@@ -39,12 +39,39 @@ from omnihd_scenes_tpu.models.second import SECOND, SECONDFPN
 from omnihd_scenes_tpu.ops.voxelize import scatter_to_bev, voxelize
 
 
+class CrossModalFusion(nn.Module):
+    """RCFusion's spatial-attention swap fuser (reference
+    ``rcfusion/detectors/BEVCross_modal_attention.py:6-43``): each
+    modality is gated by the other's avg+max-pool spatial attention map,
+    then concat + 3x3 reduce conv."""
+
+    out_channels: int = 384
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, img_bev, radar_bev, train: bool = True):
+        def spatial_att(x, name):
+            avg = jnp.mean(x, axis=-1, keepdims=True)
+            mx = jnp.max(x, axis=-1, keepdims=True)
+            att = nn.Conv(1, (self.kernel_size,) * 2, padding='SAME',
+                          use_bias=False, name=name)(
+                              jnp.concatenate([avg, mx], axis=-1))
+            return nn.sigmoid(att)
+
+        img_att = spatial_att(img_bev, 'att_img')
+        radar_att = spatial_att(radar_bev, 'att_radar')
+        fused = jnp.concatenate(
+            [img_bev * radar_att, radar_bev * img_att], axis=-1)
+        return ConvBNReLU(self.out_channels, (3, 3))(fused, train)
+
+
 @dataclass(frozen=True)
 class BEVFusionConfig:
     camera_stream: bool = True
     radar_stream: bool = True
     lc_fusion: bool = True
     se: bool = True
+    rc_fusion: str = 'concat'          # 'concat' | 'cross_attention'
     use_depthnet: bool = True          # BEVFUSION_depth variant
     num_views: int = 6
     imc: int = 256                     # camera BEV channels
@@ -119,8 +146,11 @@ class BEVFusion(nn.Module):
                     + cam_bev.shape[-1:], method='bilinear')
 
         if pts_bev is not None and cam_bev is not None and cfg.lc_fusion:
-            fused = jnp.concatenate([cam_bev, pts_bev], axis=-1)
-            fused = ConvBNReLU(cfg.lic, (3, 3))(fused, train)
+            if cfg.rc_fusion == 'cross_attention':
+                fused = CrossModalFusion(cfg.lic)(cam_bev, pts_bev, train)
+            else:
+                fused = jnp.concatenate([cam_bev, pts_bev], axis=-1)
+                fused = ConvBNReLU(cfg.lic, (3, 3))(fused, train)
             if cfg.se:
                 fused = SEBlock(cfg.lic)(fused)
         elif pts_bev is not None:
