@@ -63,6 +63,7 @@ class NewScenesDetDataset:
                  camera_depth_range: Sequence[float] = (1.0, 60.0, 1.0),
                  load_occ: bool = False,
                  occ_size: Sequence[int] = (240, 160, 16),
+                 occ_downsample: Sequence[int] = (1, 1, 1),
                  seed: int = 0):
         self.infos = load_infos(ann_file)
         self.modality = modality
@@ -88,6 +89,7 @@ class NewScenesDetDataset:
         self.camera_depth_range = list(camera_depth_range)
         self.load_occ = load_occ
         self.occ_size = tuple(occ_size)
+        self.occ_downsample = tuple(occ_downsample)
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -205,6 +207,14 @@ class NewScenesDetDataset:
         grid = np.zeros(self.occ_size, np.int32)
         grid[occ[:, 0].astype(int), occ[:, 1].astype(int),
              occ[:, 2].astype(int)] = occ[:, 3]
+        dx, dy, dz = self.occ_downsample
+        if (dx, dy, dz) != (1, 1, 1):
+            # Max-pool downsample keeps sparse occupied labels visible
+            # at reduced resolution (small-config testing only).
+            sx, sy, sz = (self.occ_size[0] // dx, self.occ_size[1] // dy,
+                          self.occ_size[2] // dz)
+            grid = grid[:sx * dx, :sy * dy, :sz * dz].reshape(
+                sx, dx, sy, dy, sz, dz).max(axis=(1, 3, 5))
         return grid
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:

@@ -1,0 +1,130 @@
+"""Tracking evaluation driver (AMOTA/AMOTP per class).
+
+Parity target: ``newscenes_devkit/eval/tracking/evaluate.py``
+(``TrackingEval``) — loads a tracking submission JSON
+({'results': {token: [boxes w/ tracking_id]}}), builds GT tracks from
+the database annotation track ids, groups frames per scene in temporal
+order, and reports per-class + average AMOTA/AMOTP/MOTA/MOTP.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import Dict, List
+
+import numpy as np
+
+from omnihd_scenes_tpu.eval.common import load_prediction
+from omnihd_scenes_tpu.eval.detection.utils import category_to_detection_name
+from omnihd_scenes_tpu.eval.tracking.algo import amota_amotp
+from omnihd_scenes_tpu.eval.tracking.data_classes import (TRACKING_NAMES,
+                                                          TrackingBox,
+                                                          TrackingConfig)
+
+
+def load_tracking_gt(newsc, eval_split: str) -> Dict[str, List[TrackingBox]]:
+    """GT tracking boxes keyed by sample token."""
+    splits = newsc.scene_split
+    out = {}
+    for s in newsc.sample:
+        if s['scene_token'] not in splits[eval_split]:
+            continue
+        boxes = []
+        for box in newsc.get_annotation_box(s['token']):
+            name = category_to_detection_name(box.name)
+            if name is None:
+                continue
+            boxes.append(TrackingBox(
+                sample_token=s['token'],
+                translation=tuple(box.center.tolist()),
+                size=tuple(box.wlh.tolist()),
+                rotation=tuple(box.orientation.elements.tolist()),
+                ego_translation=tuple(box.center.tolist()),
+                tracking_id=str(box.track_id),
+                tracking_name=name,
+                tracking_score=-1.0,
+                visibility=box.visibility))
+        out[s['token']] = boxes
+    return out
+
+
+class TrackingEval:
+    """Scene-ordered AMOTA/AMOTP evaluation."""
+
+    def __init__(self, newsc, config: TrackingConfig, result_path: str,
+                 eval_set: str, output_dir: str = None,
+                 verbose: bool = True):
+        self.newsc = newsc
+        self.cfg = config
+        self.eval_set = eval_set
+        self.output_dir = output_dir
+        self.verbose = verbose
+
+        from omnihd_scenes_tpu.eval.common import EvalBoxes
+
+        with open(result_path) as f:
+            data = json.load(f)
+        self.pred = {tok: [TrackingBox.deserialize(b) for b in boxes]
+                     for tok, boxes in data['results'].items()}
+        self.gt = load_tracking_gt(newsc, eval_set)
+
+        # Range + visibility filters (same policy as detection).
+        for store in (self.pred, self.gt):
+            for tok in store:
+                store[tok] = [
+                    b for b in store[tok]
+                    if abs(b.ego_translation[0])
+                    <= self.cfg.class_range[b.tracking_name][0]
+                    and abs(b.ego_translation[1])
+                    <= self.cfg.class_range[b.tracking_name][1]
+                    and b.visibility == 1]
+
+    def _scene_frames(self):
+        """Sample tokens grouped per scene, time ordered."""
+        per_scene = defaultdict(list)
+        for s in self.newsc.sample:
+            if s['token'] in self.gt:
+                per_scene[s['scene_token']].append(s['token'])
+        for scene in per_scene:
+            per_scene[scene].sort(key=int)
+        return per_scene
+
+    def main(self) -> Dict[str, float]:
+        per_scene = self._scene_frames()
+        metrics = {}
+        per_class = defaultdict(list)
+        for cls in self.cfg.tracking_names:
+            gt_frames, pred_frames = [], []
+            for scene, tokens in per_scene.items():
+                for tok in tokens:
+                    gt_frames.append(
+                        [b for b in self.gt.get(tok, [])
+                         if b.tracking_name == cls])
+                    pred_frames.append(
+                        [b for b in self.pred.get(tok, [])
+                         if b.tracking_name == cls])
+                # Scene boundary: empty separator frame resets identity.
+                gt_frames.append([])
+                pred_frames.append([])
+            res = amota_amotp(gt_frames, pred_frames, self.cfg.dist_th_tp,
+                              nelem=self.cfg.nelem,
+                              min_recall=self.cfg.min_recall)
+            for k, v in res.items():
+                metrics[f'{cls}_{k}'] = v
+                per_class[k].append(v)
+
+        for k, vals in per_class.items():
+            metrics[k] = float(np.mean(vals))
+
+        if self.output_dir:
+            os.makedirs(self.output_dir, exist_ok=True)
+            with open(os.path.join(self.output_dir,
+                                   'tracking_metrics.json'), 'w') as f:
+                json.dump(metrics, f, indent=2)
+        if self.verbose:
+            print(f"AMOTA: {metrics['amota']:.4f}  "
+                  f"AMOTP: {metrics['amotp']:.4f}  "
+                  f"MOTA: {metrics['mota']:.4f}")
+        return metrics

@@ -50,4 +50,9 @@ class SECONDFPN(nn.Module):
         ups = [DeconvBNReLU(ch, stride, axis_name=self.axis_name)(f, train)
                for f, stride, ch in zip(feats, self.upsample_strides,
                                         self.out_channels)]
+        # Guard non-divisible grids (rounding in strided convs can leave
+        # the deepest level one texel larger after upsampling).
+        min_h = min(u.shape[-3] for u in ups)
+        min_w = min(u.shape[-2] for u in ups)
+        ups = [u[..., :min_h, :min_w, :] for u in ups]
         return jnp.concatenate(ups, axis=-1)

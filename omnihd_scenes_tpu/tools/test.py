@@ -1,8 +1,9 @@
 """Evaluation CLI.
 
 Parity target: ``tools/test.py`` + ``tools/dist_test.sh`` — load a
-config + checkpoint, run sharded inference, format results to the
-NewScenes JSON and/or run the devkit eval.
+config + checkpoint, run sharded inference (streaming recurrence for
+BEVFormer), format results to the NewScenes JSON and/or run the devkit
+eval (detection + occupancy when present).
 """
 
 from __future__ import annotations
@@ -12,6 +13,7 @@ import json
 import os.path as osp
 
 import jax
+import numpy as np
 
 
 def parse_args():
@@ -27,12 +29,14 @@ def parse_args():
 
 
 def main():
-    from omnihd_scenes_tpu.parallel.mesh import make_mesh
+    from omnihd_scenes_tpu.train.builder import (anchors_for,
+                                                 build_model_from_cfg,
+                                                 make_predict_fn_generic,
+                                                 _model_inputs)
     from omnihd_scenes_tpu.train.config import Config
-    from omnihd_scenes_tpu.train.detection import (build_model,
-                                                   make_predict_fn,
-                                                   run_inference)
-    from omnihd_scenes_tpu.data.dataset import NewScenesDetDataset
+    from omnihd_scenes_tpu.train.detection import build_dataset_single
+    from omnihd_scenes_tpu.train.eval_runner import (
+        evaluate_results, run_inference_generic, run_streaming_inference)
     from omnihd_scenes_tpu.train.loop import (create_train_state,
                                               load_checkpoint)
     from omnihd_scenes_tpu.train.optim import make_lr_schedule, make_optimizer
@@ -42,34 +46,54 @@ def main():
     cfg.merge_from_options(args.cfg_options)
     out_dir = args.out_dir or osp.join(cfg.work_dir, 'test')
 
-    mesh = make_mesh()
+    mtype_hint = cfg.get('model_type', 'pointpillars')
+    dtype = cfg.get('dataset_type', 'det')
     test_cfg = cfg.data.get('test', cfg.data.val)
-    dataset = NewScenesDetDataset(**test_cfg.to_dict())
+    dataset = build_dataset_single(test_cfg, dtype)
 
-    model = build_model(cfg)
+    model, mtype = build_model_from_cfg(cfg)
     sample = dataset[0]
-    variables = model.init(jax.random.PRNGKey(0), sample['points'][None],
-                           sample['points_mask'][None], train=False)
+    sample_batch = {k: (v[None] if isinstance(v, np.ndarray) else v)
+                    for k, v in sample.items()}
+    if mtype == 'bevformer':
+        # Streaming init: single frame + zero prev_bev.
+        bev_shape = (model.cfg.bev_h * model.cfg.bev_w,
+                     model.cfg.embed_dims)
+        variables = model.init(
+            jax.random.PRNGKey(0), sample['imgs'], sample['can_bus'],
+            sample['lidar2img'], np.zeros(bev_shape, np.float32),
+            np.asarray(False),
+            method=type(model).forward_stream)
+    else:
+        variables = model.init(jax.random.PRNGKey(0), train=False,
+                               **_model_inputs(sample_batch, mtype, False))
+
     # Schedule-based optimizer so the opt-state leaf structure matches
     # the training-side checkpoint exactly.
     tx = make_optimizer(make_lr_schedule(1e-3, 100, warmup_iters=10))
     state = create_train_state(variables, tx)
     state = load_checkpoint(args.checkpoint, state)
 
-    predict_fn = make_predict_fn(model)
-    results = run_inference(predict_fn, state, dataset,
-                            cfg.data.samples_per_device, mesh)
+    anchors_np = anchors_for(model, mtype)
+    if mtype == 'bevformer':
+        predict_stream = make_predict_fn_generic(model, mtype)
+        bbox_results = run_streaming_inference(predict_stream, state,
+                                               dataset, bev_shape)
+        outputs = {'bbox_results': bbox_results, 'occ_results': None}
+    else:
+        predict_fn = make_predict_fn_generic(model, mtype, anchors_np)
+        outputs = run_inference_generic(predict_fn, state, dataset,
+                                        cfg.data.samples_per_device, mtype)
 
     if args.format_only:
-        path = dataset.format_results(results, out_dir)
+        path = dataset.format_results(outputs['bbox_results'], out_dir)
         print('Results written to', path)
         return
 
     if args.eval:
-        metrics = dataset.evaluate(results, dataroot=cfg.dataroot,
-                                   version=cfg.version,
-                                   eval_set=cfg.eval_set,
-                                   jsonfile_prefix=out_dir, verbose=True)
+        metrics = evaluate_results(dataset, outputs, cfg.dataroot,
+                                   cfg.version, cfg.eval_set, out_dir,
+                                   verbose=True)
         print(json.dumps(metrics, indent=2))
 
 

@@ -34,10 +34,15 @@ def parse_args():
 
 def main():
     from omnihd_scenes_tpu.parallel.mesh import make_mesh
+    from omnihd_scenes_tpu.train.builder import (anchors_for,
+                                                 build_model_from_cfg,
+                                                 make_loss_fn_generic,
+                                                 make_predict_fn_generic,
+                                                 _model_inputs)
     from omnihd_scenes_tpu.train.config import Config
-    from omnihd_scenes_tpu.train.detection import (build_datasets,
-                                                   build_model, make_eval_fn,
-                                                   make_loss_fn)
+    from omnihd_scenes_tpu.train.detection import build_datasets
+    from omnihd_scenes_tpu.train.eval_runner import (evaluate_results,
+                                                     run_inference_generic)
     from omnihd_scenes_tpu.train.loop import (JsonLogger, TrainState,
                                               create_train_state,
                                               load_checkpoint,
@@ -65,11 +70,13 @@ def main():
     batch_size = cfg.data.samples_per_device * jax.device_count()
     train_loader = TrainLoader(train_ds, batch_size, seed=args.seed)
 
-    model = build_model(cfg)
+    model, mtype = build_model_from_cfg(cfg)
     sample = train_ds[0]
+    sample_batch = {k: (v[None] if isinstance(v, np.ndarray) else v)
+                    for k, v in sample.items()}
     variables = model.init(
-        jax.random.PRNGKey(args.seed),
-        sample['points'][None], sample['points_mask'][None], train=False)
+        jax.random.PRNGKey(args.seed), train=False,
+        **_model_inputs(sample_batch, mtype, False))
 
     steps_per_epoch = len(train_loader)
     total_steps = steps_per_epoch * cfg.total_epochs
@@ -94,12 +101,38 @@ def main():
         state = load_checkpoint(args.resume_from, state)
         logger.log({'mode': 'resume', 'step': int(state.step)})
 
-    loss_fn = make_loss_fn(model)
+    # Staged pretraining (reference load_img_from / load_lift_from /
+    # load_pts_from chains).
+    if cfg.get('load_lift_from') or cfg.get('load_pts_from'):
+        from omnihd_scenes_tpu.train.ckpt_remap import (load_lift_from,
+                                                        load_pts_from)
+        params = state.params
+        for key, fn in (('load_lift_from', load_lift_from),
+                        ('load_pts_from', load_pts_from)):
+            path = cfg.get(key)
+            if path:
+                src = load_checkpoint(path, state).params
+                params, report = fn(params, src)
+                logger.log({'mode': key, 'loaded': len(report['loaded'])})
+        state = state._replace(params=params)
+
+    anchors_np = anchors_for(model, mtype)
+    loss_fn = make_loss_fn_generic(
+        model, mtype, anchors_np,
+        depth_loss_weight=cfg.get('img_depth_loss_weight', 1.0))
     train_step = make_train_step(loss_fn, tx)
 
     eval_fn = None
-    if not args.no_validate:
-        eval_fn = make_eval_fn(cfg, model, val_ds, mesh)
+    if not args.no_validate and mtype != 'bevformer':
+        predict_fn = make_predict_fn_generic(model, mtype, anchors_np)
+
+        def eval_fn(state):
+            outputs = run_inference_generic(
+                predict_fn, state, val_ds, cfg.data.samples_per_device,
+                mtype)
+            return evaluate_results(
+                val_ds, outputs, cfg.dataroot, cfg.version, cfg.eval_set,
+                osp.join(cfg.work_dir, 'eval'))
 
     t0 = time.time()
     state = run_training(

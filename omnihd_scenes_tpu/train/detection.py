@@ -32,9 +32,20 @@ def build_model(cfg) -> PointPillars:
     return PointPillars(model_cfg)
 
 
+def build_dataset_single(ds_cfg, dataset_type: str = 'det'):
+    kwargs = ds_cfg.to_dict() if hasattr(ds_cfg, 'to_dict') else dict(ds_cfg)
+    if dataset_type == 'temporal':
+        from omnihd_scenes_tpu.data.temporal_dataset import (
+            TemporalNewScenesDataset)
+
+        return TemporalNewScenesDataset(**kwargs)
+    return NewScenesDetDataset(**kwargs)
+
+
 def build_datasets(cfg):
-    train_ds = NewScenesDetDataset(**cfg.data.train.to_dict())
-    val_ds = NewScenesDetDataset(**cfg.data.val.to_dict())
+    dtype = cfg.get('dataset_type', 'det')
+    train_ds = build_dataset_single(cfg.data.train, dtype)
+    val_ds = build_dataset_single(cfg.data.val, dtype)
     return train_ds, val_ds
 
 

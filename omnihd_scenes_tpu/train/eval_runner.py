@@ -1,0 +1,90 @@
+"""Generic evaluation runners for all model families.
+
+Covers the reference's ``custom_multi_gpu_test`` (anchor/fusion models,
+``apis/test.py:50-116``), the OD+OCC dict path
+(``apis/od_occ_mtl_test.py:30-110``) and the streaming video-mode eval
+that the contiguous sampler enables (``bevformer.py:270-306``).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from omnihd_scenes_tpu.data.loader import EvalLoader
+from omnihd_scenes_tpu.eval.occupancy import (evaluation_semantic,
+                                              summarize_occ_scores)
+
+
+def run_inference_generic(predict_fn, state, dataset, batch_size: int,
+                          mtype: str) -> Dict:
+    """Batched inference -> per-sample detections (+ occ grids)."""
+    loader = EvalLoader(dataset, batch_size)
+    results: List = [None] * len(dataset)
+    occ_results: List = [None] * len(dataset)
+    for batch, valid in loader:
+        indices = batch.pop('index')
+        dets, occ_pred = predict_fn(state.params, state.batch_stats, batch)
+        boxes, scores, labels, det_valid = [np.asarray(x) for x in dets]
+        if occ_pred is not None:
+            occ_pred = np.asarray(occ_pred)
+        for i, ok in enumerate(valid):
+            if ok:
+                results[int(indices[i])] = {
+                    'boxes': boxes[i], 'scores': scores[i],
+                    'labels': labels[i], 'valid': det_valid[i]}
+                if occ_pred is not None:
+                    occ_results[int(indices[i])] = occ_pred[i]
+    return {'bbox_results': results,
+            'occ_results': occ_results if occ_results[0] is not None
+            else None}
+
+
+def run_streaming_inference(predict_stream, state, dataset,
+                            bev_shape) -> List[Dict]:
+    """BEVFormer test-time recurrence: strictly in dataset (temporal)
+    order with host-side prev_bev state (reference prev_frame_info)."""
+    from omnihd_scenes_tpu.data.temporal_dataset import StreamingEvalState
+
+    stream = StreamingEvalState(bev_shape)
+    results = []
+    for idx in range(len(dataset)):
+        sample = dataset[idx]
+        info = dataset.infos[idx]
+        cb, has_prev = stream.prepare(sample['can_bus'],
+                                      info['scene_token'])
+        (boxes, scores, labels, valid), bev = predict_stream(
+            state.params, state.batch_stats, sample['imgs'], cb,
+            sample['lidar2img'], stream.prev_bev, np.asarray(has_prev))
+        stream.update(bev)
+        results.append({'boxes': np.asarray(boxes),
+                        'scores': np.asarray(scores),
+                        'labels': np.asarray(labels),
+                        'valid': np.asarray(valid)})
+    return results
+
+
+def evaluate_results(dataset, outputs: Dict, dataroot: str, version: str,
+                     eval_set: str, jsonfile_prefix: str,
+                     occ_class_names=None,
+                     verbose: bool = False) -> Dict[str, float]:
+    """Detection (+ occupancy) metrics from inference outputs."""
+    metrics = dataset.evaluate(outputs['bbox_results'], dataroot=dataroot,
+                               version=version, eval_set=eval_set,
+                               jsonfile_prefix=jsonfile_prefix,
+                               verbose=verbose)
+    if outputs.get('occ_results'):
+        scores = []
+        n_cls = None
+        for idx, occ_pred in enumerate(outputs['occ_results']):
+            gt = dataset._load_occ(dataset.infos[idx])
+            if n_cls is None:
+                n_cls = int(max(occ_pred.max(), gt.max())) + 1
+            scores.append(evaluation_semantic(occ_pred, gt, n_cls))
+        occ_summary = summarize_occ_scores(
+            scores, occ_class_names
+            or [f'cls_{i}' for i in range(1, n_cls)])
+        metrics.update({f'occ_{k}': v for k, v in occ_summary.items()})
+    return metrics
