@@ -39,10 +39,25 @@ def _load_points(path: str) -> np.ndarray:
 
 
 def load_radar_sweep(sweep: Dict, key: str, load_dim: int = 8,
-                     ref_ts: float = None) -> np.ndarray:
+                     ref_ts: float = None,
+                     use_native: bool = True) -> np.ndarray:
     """One sensor sweep -> (N, 10) compensated points in the lidar frame."""
+    ts = float(ref_ts if ref_ts is not None
+               else int(sweep['timestamp']) * 1e-6)
+    if use_native and load_dim == 8:
+        from omnihd_scenes_tpu.data import native
+
+        s2e_rot = Quaternion(sweep['sensor2ego_rotation']).rotation_matrix
+        out = native.radar_sweep_native(
+            sweep['data_path'], np.linalg.inv(s2e_rot),
+            np.asarray(sweep['sensor2lidar_rotation']),
+            np.asarray(sweep['sensor2lidar_translation']),
+            np.asarray(sweep['ego_velocity']),
+            ts - int(sweep['timestamp']) * 1e-6, RADAR_ID[key])
+        if out is not None:
+            return out
+
     pts = _load_points(sweep['data_path']).reshape(-1, load_dim).copy()
-    ts = float(ref_ts if ref_ts is not None else int(sweep['timestamp']) * 1e-6)
     timestamp = int(sweep['timestamp']) * 1e-6
     time_diff = np.full((pts.shape[0], 1), ts - timestamp)
 

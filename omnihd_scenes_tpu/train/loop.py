@@ -144,11 +144,15 @@ def run_training(state: TrainState,
                  eval_fn: Optional[Callable] = None,
                  eval_interval: int = 1) -> TrainState:
     """Epoch-based runner."""
+    from omnihd_scenes_tpu.data.prefetch import prefetch
+
     mesh = mesh or make_mesh()
     for epoch in range(num_epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
-        for it, batch in enumerate(train_loader):
+        # Host-side sample prep overlaps device compute (the native
+        # decode path releases the GIL).
+        for it, batch in enumerate(prefetch(iter(train_loader))):
             batch = shard_batch(batch, mesh)
             state, loss, aux = train_step(state, batch)
             if logger and (it % log_interval == 0):
