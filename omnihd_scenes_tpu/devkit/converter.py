@@ -231,6 +231,20 @@ def _fill_trainval_infos(newsc: NewScenes, train_scenes, val_scenes,
     return train_infos, val_infos
 
 
+def merge_data_with_occ(info_path: str, out_path: str = None) -> str:
+    """Add 'occ_path' to every info (reference
+    ``tools/merge_data_with_occ.py:8-26``: lidar/*.bin -> occ_gt/*.npz)."""
+    out_path = out_path or info_path
+    with open(info_path, 'rb') as f:
+        data = pickle.load(f)
+    for info in data['infos']:
+        info['occ_path'] = info['lidar_path'].replace(
+            '/lidar/', '/occ_gt/').replace('.bin', '.npz')
+    with open(out_path, 'wb') as f:
+        pickle.dump(data, f)
+    return out_path
+
+
 def create_newscenes_infos(root_path: str, out_path: str, info_prefix: str,
                            version: str = 'v1.0-trainval',
                            max_sweeps: int = 10) -> None:

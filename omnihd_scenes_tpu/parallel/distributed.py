@@ -1,0 +1,75 @@
+"""Multi-host initialization and result collection.
+
+Parity targets:
+- ``init_dist`` (mmcv NCCL process groups, reference ``tools/train.py:
+  179-186``) -> ``jax.distributed.initialize`` (a no-op single-host);
+- ``collect_results_cpu`` (per-rank pickles to a tmpdir + barrier +
+  rank-0 ordered concat, reference ``apis/test.py:119-163``) ->
+  ``multihost_utils.process_allgather`` over in-memory arrays — the
+  filesystem IPC dance disappears.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> Dict[str, int]:
+    """Initialize multi-host JAX if requested via args or env.
+
+    Single-process usage needs no initialization; multi-host runs
+    (GKE/TPU pods) either auto-detect or take explicit coordinates.
+    """
+    if coordinator_address or os.environ.get('COORDINATOR_ADDRESS'):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address
+            or os.environ['COORDINATOR_ADDRESS'],
+            num_processes=num_processes
+            or int(os.environ.get('NUM_PROCESSES', '1')),
+            process_id=process_id
+            or int(os.environ.get('PROCESS_ID', '0')))
+    return {'process_index': jax.process_index(),
+            'process_count': jax.process_count(),
+            'local_devices': jax.local_device_count(),
+            'global_devices': jax.device_count()}
+
+
+def collect_results(local_results: List[Dict[str, np.ndarray]],
+                    total_size: Optional[int] = None) -> List[Dict]:
+    """Gather per-host result lists into a rank-ordered global list.
+
+    Hosts shard the eval set in contiguous blocks (EvalLoader order);
+    rank-ordered concatenation reproduces the reference's tmpdir-pickle
+    collection semantics.  Identity on a single process.
+    """
+    if jax.process_count() == 1:
+        return local_results
+
+    from jax.experimental import multihost_utils
+
+    # Stack local arrays per key, allgather, then unstack in rank order.
+    keys = list(local_results[0].keys())
+    local = {k: np.stack([r[k] for r in local_results]) for k in keys}
+    gathered = multihost_utils.process_allgather(local)
+    out: List[Dict] = []
+    for rank in range(jax.process_count()):
+        n = gathered[keys[0]].shape[1] if gathered[keys[0]].ndim > 1 else 1
+        for i in range(n):
+            out.append({k: gathered[k][rank, i] for k in keys})
+    if total_size is not None:
+        out = out[:total_size]
+    return out
+
+
+def barrier(name: str = 'barrier') -> None:
+    """Cross-host sync (reference dist.barrier, apis/test.py:141)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)

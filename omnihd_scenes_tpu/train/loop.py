@@ -42,10 +42,15 @@ def create_train_state(variables: Dict, tx: optax.GradientTransformation
                       opt_state=tx.init(params))
 
 
-def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation):
+def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
+                    check_unused_params: bool = False):
     """Build the jitted train step.
 
     ``loss_fn(params, batch_stats, batch) -> (loss, (aux, new_stats))``.
+    ``check_unused_params`` adds per-top-level-module gradient norms to
+    the aux dict — the reference's ``GradChecker`` hook
+    (``models/hooks/hooks.py:6-11``) warned on params with no gradient;
+    a persistent zero norm here means the same thing.
     """
 
     @jax.jit
@@ -57,6 +62,9 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation):
         new_params = optax.apply_updates(state.params, updates)
         aux = dict(aux)
         aux['grad_norm'] = optax.global_norm(grads)
+        if check_unused_params and isinstance(grads, dict):
+            for name, sub in grads.items():
+                aux[f'gnorm/{name}'] = optax.global_norm(sub)
         return TrainState(state.step + 1, new_params, new_stats,
                           new_opt), loss, aux
 
