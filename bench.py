@@ -1,11 +1,13 @@
 """Benchmark entry: prints ONE JSON line with the headline metric.
 
-Current flagship: full-scale 4D-radar PointPillars inference
-(backbone + head + rotated-NMS decode) on synthetic point clouds.
-The reference publishes no throughput numbers
-(BASELINE.md "Notes"); ``vs_baseline`` is computed against a nominal
-60 samples/sec — a PointPillars-class detector on an A100-class GPU —
-pending a measured PyTorch reference.
+Headline (BASELINE.json): camera + 4D-radar BEVFusion inference
+samples/sec/chip — full production scale (ResNet50, 6 cams at 544x960,
+59 LSS depth bins, 30k radar pillars, rotated-NMS decode to 500 boxes).
+
+The reference publishes no throughput numbers (BASELINE.md "Notes");
+``vs_baseline`` is computed against a nominal 15 samples/sec — a
+BEVFusion-class camera+radar detector on an A100 — pending a measured
+PyTorch reference.  The north-star ratio is 2.0 (>= 2x A100).
 """
 
 import json
@@ -13,7 +15,7 @@ import time
 
 import numpy as np
 
-NOMINAL_A100_SAMPLES_PER_SEC = 60.0
+NOMINAL_A100_SAMPLES_PER_SEC = 15.0
 
 
 def main():
@@ -21,33 +23,34 @@ def main():
 
     from omnihd_scenes_tpu.models.anchor_head import (DecodeCfg,
                                                       anchor_head_get_bboxes)
-    from omnihd_scenes_tpu.models.detectors import (PointPillars,
-                                                    PointPillarsConfig)
+    from omnihd_scenes_tpu.models.bevfusion import (BEVFusion,
+                                                    BEVFusionConfig)
 
-    cfg = PointPillarsConfig()
-    model = PointPillars(cfg)
+    cfg = BEVFusionConfig()          # full-scale flagship
+    model = BEVFusion(cfg)
 
-    batch = 8
-    n_pts = 30000
+    batch = 4
+    n_pts = 40000
     rng = np.random.RandomState(0)
     points = rng.uniform(-55, 55, size=(batch, n_pts, 8)).astype(np.float32)
     points[..., 1] = rng.uniform(-38, 38, size=(batch, n_pts))
     points[..., 2] = rng.uniform(-2, 4, size=(batch, n_pts))
     mask = np.ones((batch, n_pts), dtype=bool)
+    imgs = rng.randn(batch, 6, 544, 960, 3).astype(np.float32)
+    rots = np.tile(np.eye(3, dtype=np.float32) * 0.01, (batch, 6, 1, 1))
+    trans = np.zeros((batch, 6, 3), np.float32)
 
     variables = model.init(jax.random.PRNGKey(0), points[:1], mask[:1],
-                           train=False)
-    anchors_np = cfg.anchors()
-    # Batched anchors as a real argument (unbatched vmap constants hit a
-    # slow gather path on this backend).
+                           imgs[:1], rots[:1], trans[:1], train=False)
+    anchors_np = cfg.pillars.anchors()
     anchors_b = np.ascontiguousarray(
         np.broadcast_to(anchors_np[None], (batch,) + anchors_np.shape))
-    decode_cfg = DecodeCfg()  # nms_pre=1000, max_num=500
+    decode_cfg = DecodeCfg()         # nms_pre=1000, max_num=500
 
     @jax.jit
-    def infer(params, batch_stats, pts, msk, anc):
+    def infer(params, batch_stats, pts, msk, im, r, t, anc):
         out = model.apply({'params': params, 'batch_stats': batch_stats},
-                          pts, msk, train=False)
+                          pts, msk, im, r, t, train=False)
         return jax.vmap(
             lambda c, b, d, a: anchor_head_get_bboxes(c, b, d, a,
                                                       decode_cfg))(
@@ -55,20 +58,20 @@ def main():
 
     params, stats = variables['params'], variables.get('batch_stats', {})
 
-    # Warmup / compile.
-    res = infer(params, stats, points, mask, anchors_b)
-    jax.block_until_ready(res)
+    res = infer(params, stats, points, mask, imgs, rots, trans, anchors_b)
+    jax.block_until_ready(res)        # warmup / compile
 
-    iters = 20
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = infer(params, stats, points, mask, anchors_b)
+        res = infer(params, stats, points, mask, imgs, rots, trans,
+                    anchors_b)
     jax.block_until_ready(res)
     dt = time.perf_counter() - t0
 
     samples_per_sec = batch * iters / dt
     print(json.dumps({
-        'metric': 'pointpillars_radar_infer_samples_per_sec',
+        'metric': 'bevfusion_cam_radar_infer_samples_per_sec',
         'value': round(samples_per_sec, 2),
         'unit': 'samples/sec/chip',
         'vs_baseline': round(samples_per_sec / NOMINAL_A100_SAMPLES_PER_SEC,
