@@ -54,6 +54,24 @@ def _solve_host(cost: np.ndarray) -> np.ndarray:
     return out
 
 
+@jax.custom_jvp
+def _solve(cost: jnp.ndarray) -> jnp.ndarray:
+    return jax.pure_callback(
+        _solve_host,
+        jax.ShapeDtypeStruct((cost.shape[1],), jnp.int32),
+        cost, vmap_method='sequential')
+
+
+@_solve.defjvp
+def _solve_jvp(primals, tangents):
+    # The assignment is piecewise constant in the costs: zero tangent
+    # (int32 output => float0), which lets the matcher sit inside a
+    # differentiated loss (pure_callback alone rejects JVP).
+    out = _solve(primals[0])
+    zero = jnp.zeros(out.shape, dtype=jax.dtypes.float0)
+    return out, zero
+
+
 def hungarian_match(cls_logits: jnp.ndarray,
                     bbox_preds: jnp.ndarray,
                     gt_codes: jnp.ndarray,
@@ -73,10 +91,7 @@ def hungarian_match(cls_logits: jnp.ndarray,
     cost = jnp.where(gt_mask[None, :], cost, _BIG)
     cost = jnp.nan_to_num(cost, nan=_BIG, posinf=_BIG, neginf=-_BIG)
 
-    matched = jax.pure_callback(
-        _solve_host,
-        jax.ShapeDtypeStruct((gt_codes.shape[0],), jnp.int32),
-        cost, vmap_method='sequential')
+    matched = _solve(jax.lax.stop_gradient(cost))
 
     matched = jnp.where(gt_mask, matched, -1)
     nq = cls_logits.shape[0]

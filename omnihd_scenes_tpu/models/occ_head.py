@@ -46,6 +46,28 @@ class BEVOCCHead2D(nn.Module):
         return x.reshape(x.shape[:-1] + (self.dz, self.num_classes))
 
 
+class BEVOCCHead3D(nn.Module):
+    """3D-conv occupancy head (reference ``BEVOCCHead3D(v2)`` variants):
+    lift the BEV into a (Dy, Dx, Dz, C') volume and refine with 3D
+    convolutions before per-voxel classification."""
+
+    mid_dim: int = 64
+    dz: int = 16
+    num_classes: int = 12
+
+    @nn.compact
+    def __call__(self, bev):
+        # bev: (..., Dy, Dx, C) -> volume (..., Dy, Dx, Dz, C').
+        x = nn.Dense(self.dz * self.mid_dim)(bev)
+        x = x.reshape(x.shape[:-1] + (self.dz, self.mid_dim))
+        x = nn.Conv(self.mid_dim, (3, 3, 3), padding='SAME')(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.mid_dim, (3, 3, 3), padding='SAME')(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.num_classes)(x)
+        return jnp.swapaxes(x, -4, -3)       # (..., Dx, Dy, Dz, n_cls)
+
+
 def _bce_scalar(p, eps: float = 1e-7):
     """binary_cross_entropy(p, 1) for a probability scalar."""
     return -jnp.log(jnp.clip(p, eps, 1.0))

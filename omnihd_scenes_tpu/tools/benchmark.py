@@ -28,8 +28,8 @@ def main():
 
     from omnihd_scenes_tpu.train.builder import (anchors_for,
                                                  build_model_from_cfg,
-                                                 make_predict_fn_generic,
-                                                 _model_inputs)
+                                                 init_model,
+                                                 make_predict_fn_generic)
     from omnihd_scenes_tpu.train.config import Config
     from omnihd_scenes_tpu.train.detection import build_dataset_single
     from omnihd_scenes_tpu.train.loop import create_train_state
@@ -43,11 +43,7 @@ def main():
     dataset = build_dataset_single(cfg.data.get('test', cfg.data.val),
                                    cfg.get('dataset_type', 'det'))
     model, mtype = build_model_from_cfg(cfg)
-    sample = dataset[0]
-    sample_batch = {k: (v[None] if isinstance(v, np.ndarray) else v)
-                    for k, v in sample.items()}
-    variables = model.init(jax.random.PRNGKey(0), train=False,
-                           **_model_inputs(sample_batch, mtype, False))
+    variables = init_model(model, mtype, dataset[0])
     state = create_train_state(
         variables, make_optimizer(make_lr_schedule(1e-3, 10)))
     if args.checkpoint:

@@ -54,11 +54,11 @@ def get_params(args):
     cfg.merge_from_options(args.cfg_options)
     ds = build_dataset_single(cfg.data.val, cfg.get('dataset_type', 'det'))
     model, mtype = build_model_from_cfg(cfg)
+    from omnihd_scenes_tpu.train.builder import init_model
     sample = ds[0]
     batch = {k: (v[None] if isinstance(v, np.ndarray) else v)
              for k, v in sample.items()}
-    variables = model.init(jax.random.PRNGKey(0), train=False,
-                           **_model_inputs(batch, mtype, False))
+    variables = init_model(model, mtype, sample)
 
     total = 0
     print('Per-submodule parameter counts:')

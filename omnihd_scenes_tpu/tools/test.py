@@ -53,8 +53,6 @@ def main():
 
     model, mtype = build_model_from_cfg(cfg)
     sample = dataset[0]
-    sample_batch = {k: (v[None] if isinstance(v, np.ndarray) else v)
-                    for k, v in sample.items()}
     if mtype == 'bevformer':
         # Streaming init: single frame + zero prev_bev.
         bev_shape = (model.cfg.bev_h * model.cfg.bev_w,
@@ -65,8 +63,9 @@ def main():
             np.asarray(False),
             method=type(model).forward_stream)
     else:
-        variables = model.init(jax.random.PRNGKey(0), train=False,
-                               **_model_inputs(sample_batch, mtype, False))
+        from omnihd_scenes_tpu.train.builder import init_model
+
+        variables = init_model(model, mtype, sample)
 
     # Schedule-based optimizer so the opt-state leaf structure matches
     # the training-side checkpoint exactly.

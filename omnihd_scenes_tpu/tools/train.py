@@ -36,9 +36,9 @@ def main():
     from omnihd_scenes_tpu.parallel.mesh import make_mesh
     from omnihd_scenes_tpu.train.builder import (anchors_for,
                                                  build_model_from_cfg,
+                                                 init_model,
                                                  make_loss_fn_generic,
-                                                 make_predict_fn_generic,
-                                                 _model_inputs)
+                                                 make_predict_fn_generic)
     from omnihd_scenes_tpu.train.config import Config
     from omnihd_scenes_tpu.train.detection import build_datasets
     from omnihd_scenes_tpu.train.eval_runner import (evaluate_results,
@@ -71,12 +71,8 @@ def main():
     train_loader = TrainLoader(train_ds, batch_size, seed=args.seed)
 
     model, mtype = build_model_from_cfg(cfg)
-    sample = train_ds[0]
-    sample_batch = {k: (v[None] if isinstance(v, np.ndarray) else v)
-                    for k, v in sample.items()}
-    variables = model.init(
-        jax.random.PRNGKey(args.seed), train=False,
-        **_model_inputs(sample_batch, mtype, False))
+    variables = init_model(model, mtype, train_ds[0],
+                           jax.random.PRNGKey(args.seed))
 
     steps_per_epoch = len(train_loader)
     total_steps = steps_per_epoch * cfg.total_epochs

@@ -70,6 +70,28 @@ def build_model_from_cfg(cfg):
     raise ValueError(f'unknown model_type {mtype}')
 
 
+def init_model(model, mtype: str, sample: Dict, rng_key=None):
+    """Initialize variables from a single dataset sample.
+
+    Anchor-family models are batched modules (add a leading batch dim);
+    BEVFormer is a single-sample module (vmap'd by the loss fn).
+    """
+    import jax as _jax
+
+    rng_key = rng_key if rng_key is not None else _jax.random.PRNGKey(0)
+    if mtype == 'bevformer':
+        return model.init(rng_key, sample['imgs'], sample['can_bus'],
+                          sample['lidar2img'],
+                          sample.get('has_prev',
+                                     np.zeros(sample['imgs'].shape[0],
+                                              bool)),
+                          train=False)
+    batch = {k: (v[None] if isinstance(v, np.ndarray) else v)
+             for k, v in sample.items()}
+    return model.init(rng_key, train=False,
+                      **_model_inputs(batch, mtype, False))
+
+
 def anchors_for(model, mtype: str):
     """Dense anchor grid for anchor-head families (None for DETR)."""
     if mtype in ('pointpillars', 'radarpillarnet'):
