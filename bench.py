@@ -2,7 +2,14 @@
 
 Headline (BASELINE.json): camera + 4D-radar BEVFusion inference
 samples/sec/chip — full production scale (ResNet50, 6 cams at 544x960,
-59 LSS depth bins, 30k radar pillars, rotated-NMS decode to 500 boxes).
+59 LSS depth bins, 40k radar points, rotated-NMS decode to 500 boxes).
+
+Methodology: the model step is iterated inside ONE jit via
+``lax.fori_loop`` with a data dependency between iterations, and a
+single scalar readback at the end — this measures pure device time.
+(Per-call timing through this environment's TPU relay is dominated by
+~20-30 ms of RPC latency per dispatch and underestimates the chip by
+3-10x.)
 
 The reference publishes no throughput numbers (BASELINE.md "Notes");
 ``vs_baseline`` is computed against a nominal 15 samples/sec — a
@@ -16,10 +23,12 @@ import time
 import numpy as np
 
 NOMINAL_A100_SAMPLES_PER_SEC = 15.0
+N_ITERS = 16
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from omnihd_scenes_tpu.models.anchor_head import (DecodeCfg,
                                                       anchor_head_get_bboxes)
@@ -29,47 +38,47 @@ def main():
     cfg = BEVFusionConfig()          # full-scale flagship
     model = BEVFusion(cfg)
 
-    batch = 4
     n_pts = 40000
     rng = np.random.RandomState(0)
-    points = rng.uniform(-55, 55, size=(batch, n_pts, 8)).astype(np.float32)
-    points[..., 1] = rng.uniform(-38, 38, size=(batch, n_pts))
-    points[..., 2] = rng.uniform(-2, 4, size=(batch, n_pts))
-    mask = np.ones((batch, n_pts), dtype=bool)
-    imgs = rng.randn(batch, 6, 544, 960, 3).astype(np.float32)
-    rots = np.tile(np.eye(3, dtype=np.float32) * 0.01, (batch, 6, 1, 1))
-    trans = np.zeros((batch, 6, 3), np.float32)
+    points = rng.uniform(-55, 55, size=(1, n_pts, 8)).astype(np.float32)
+    points[..., 1] = rng.uniform(-38, 38, size=(1, n_pts))
+    points[..., 2] = rng.uniform(-2, 4, size=(1, n_pts))
+    mask = np.ones((1, n_pts), dtype=bool)
+    imgs = rng.randn(1, 6, 544, 960, 3).astype(np.float32)
+    rots = np.tile(np.eye(3, dtype=np.float32) * 0.01, (1, 6, 1, 1))
+    trans = np.zeros((1, 6, 3), np.float32)
 
-    variables = model.init(jax.random.PRNGKey(0), points[:1], mask[:1],
-                           imgs[:1], rots[:1], trans[:1], train=False)
-    anchors_np = cfg.pillars.anchors()
+    variables = model.init(jax.random.PRNGKey(0), points, mask,
+                           imgs, rots, trans, train=False)
     anchors_b = np.ascontiguousarray(
-        np.broadcast_to(anchors_np[None], (batch,) + anchors_np.shape))
+        cfg.pillars.anchors()[None])
     decode_cfg = DecodeCfg()         # nms_pre=1000, max_num=500
 
+    params = jax.device_put(variables['params'])
+    stats = jax.device_put(variables.get('batch_stats', {}))
+    dev_in = jax.device_put((points, mask, imgs, rots, trans, anchors_b))
+
     @jax.jit
-    def infer(params, batch_stats, pts, msk, im, r, t, anc):
-        out = model.apply({'params': params, 'batch_stats': batch_stats},
-                          pts, msk, im, r, t, train=False)
-        return jax.vmap(
-            lambda c, b, d, a: anchor_head_get_bboxes(c, b, d, a,
-                                                      decode_cfg))(
-            out['cls_score'], out['bbox_pred'], out['dir_pred'], anc)
+    def bench_loop(p, s, pts, msk, im, r, t, anc):
+        def body(i, carry):
+            im_i = im + carry * 1e-30   # chain: forces sequential iters
+            out = model.apply({'params': p, 'batch_stats': s},
+                              pts, msk, im_i, r, t, train=False)
+            boxes, scores, labels, valid = jax.vmap(
+                lambda c, b, d, a: anchor_head_get_bboxes(c, b, d, a,
+                                                          decode_cfg))(
+                out['cls_score'], out['bbox_pred'], out['dir_pred'], anc)
+            return jnp.sum(scores)
+        return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0))
 
-    params, stats = variables['params'], variables.get('batch_stats', {})
+    # Warmup / compile.
+    float(bench_loop(params, stats, *dev_in))
 
-    res = infer(params, stats, points, mask, imgs, rots, trans, anchors_b)
-    jax.block_until_ready(res)        # warmup / compile
-
-    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        res = infer(params, stats, points, mask, imgs, rots, trans,
-                    anchors_b)
-    jax.block_until_ready(res)
+    float(bench_loop(params, stats, *dev_in))
     dt = time.perf_counter() - t0
 
-    samples_per_sec = batch * iters / dt
+    samples_per_sec = N_ITERS / dt
     print(json.dumps({
         'metric': 'bevfusion_cam_radar_infer_samples_per_sec',
         'value': round(samples_per_sec, 2),
