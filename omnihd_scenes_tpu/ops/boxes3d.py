@@ -132,6 +132,47 @@ def _seg_intersections(c1: jnp.ndarray, c2: jnp.ndarray):
     return pt.reshape(*batch, 16, 2), hit.reshape(*batch, 16)
 
 
+def _batcher_pairs(n: int):
+    """Compare-exchange schedule of Batcher's odd-even mergesort."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return pairs
+
+
+_SORT24_PAIRS = _batcher_pairs(24)
+
+
+def _angle_sort24(ang: jnp.ndarray, pts: jnp.ndarray):
+    """Sort 24 (angle, xy) tuples along the last axes with a static
+    sorting network — ``argsort`` + ``take_along_axis`` on a 24-minor
+    axis lowers to a pathologically slow path on TPU, while the network
+    is ~120 vectorized select stages."""
+    cols_a = [ang[..., i] for i in range(24)]
+    cols_x = [pts[..., i, 0] for i in range(24)]
+    cols_y = [pts[..., i, 1] for i in range(24)]
+    for i, j in _SORT24_PAIRS:
+        swap = cols_a[i] > cols_a[j]
+
+        def sel(lo, hi):
+            return (jnp.where(swap, hi, lo), jnp.where(swap, lo, hi))
+
+        cols_a[i], cols_a[j] = sel(cols_a[i], cols_a[j])
+        cols_x[i], cols_x[j] = sel(cols_x[i], cols_x[j])
+        cols_y[i], cols_y[j] = sel(cols_y[i], cols_y[j])
+    a = jnp.stack(cols_a, axis=-1)
+    xy = jnp.stack([jnp.stack(cols_x, -1), jnp.stack(cols_y, -1)], axis=-1)
+    return a, xy
+
+
 def rotated_iou_bev(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
                     eps: float = 1e-6) -> jnp.ndarray:
     """Exact pairwise rotated BEV IoU (N, M).
@@ -139,9 +180,9 @@ def rotated_iou_bev(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
     Replaces the mmcv/mmdet3d rotated-IoU CUDA kernel.  The convex
     intersection polygon's vertices are a subset of 24 candidates
     (4 corners of each box inside the other + 16 edge intersections);
-    valid candidates are angle-sorted around their centroid and the area
-    follows from one masked shoelace — a single static-shape sort, fully
-    batched over the (N, M) pair grid.
+    valid candidates are angle-sorted around their centroid via a static
+    sorting network and the area follows from one masked shoelace —
+    fully batched over the (N, M) pair grid with no dynamic gathers.
     """
     n, m = boxes1.shape[0], boxes2.shape[0]
     c1 = jnp.broadcast_to(bev_corners(boxes1)[:, None], (n, m, 4, 2))
@@ -162,8 +203,7 @@ def rotated_iou_bev(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
     rel = cand - centroid[..., None, :]
     ang = jnp.arctan2(rel[..., 1], rel[..., 0])
     ang = jnp.where(valid, ang, jnp.inf)                       # invalid last
-    order = jnp.argsort(ang, axis=-1)
-    poly = jnp.take_along_axis(cand, order[..., None], axis=-2)
+    _, poly = _angle_sort24(ang, cand)
 
     # Pad with the first vertex: duplicates add zero cross terms.
     first = poly[..., 0:1, :]

@@ -49,15 +49,26 @@ def _iou_over_thr_matrix(boxes: jnp.ndarray, thr: float) -> jnp.ndarray:
     return s[:n]
 
 
+_MAX_FIXPOINT_ITERS = 48
+
+
 def _greedy_fixpoint(s_mat: jnp.ndarray, prec: jnp.ndarray,
-                     valid: jnp.ndarray) -> jnp.ndarray:
-    """Iterate suppression to the (unique, greedy) fixpoint."""
-    n = valid.shape[0]
+                     valid: jnp.ndarray,
+                     max_iters: int = _MAX_FIXPOINT_ITERS) -> jnp.ndarray:
+    """Iterate suppression to the (unique, greedy) fixpoint.
+
+    Convergence needs one iteration per suppression-chain level; real
+    detections converge in < 10.  ``max_iters`` bounds the worst case
+    (untrained models emit degenerate all-overlapping boxes whose chains
+    can reach the candidate count) — at the cap the result equals greedy
+    NMS truncated at that chain depth, which only affects boxes that
+    sit behind 48+ consecutive suppressions.
+    """
     sp = s_mat & prec
 
     def cond(carry):
         alive, prev, it = carry
-        return (it < n) & jnp.any(alive != prev)
+        return (it < max_iters) & jnp.any(alive != prev)
 
     def body(carry):
         alive, _, it = carry
