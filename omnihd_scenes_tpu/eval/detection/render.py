@@ -118,6 +118,46 @@ def summary_plot(md_list, metrics, min_precision, min_recall, dist_th_tp,
         plt.close()
 
 
-def visualize_sample(*args, **kwargs):  # pragma: no cover
-    """BEV GT-vs-pred scatter; unfinished in the reference too."""
-    raise NotImplementedError
+def visualize_sample(newsc, sample_token, gt_boxes, pred_boxes,
+                     eval_range: float = 60.0, conf_th: float = 0.15,
+                     savepath: str = None):
+    """BEV plot of GT vs predicted eval boxes for one sample.
+
+    The reference left this TODO (``evaluate.py:196-212``); implemented
+    here: GT in green, predictions above ``conf_th`` in red, eval range
+    as a circle.
+    """
+    from omnihd_scenes_tpu.utils.quaternion import Quaternion
+
+    _, ax = plt.subplots(figsize=(9, 9))
+
+    def draw(boxes, color, check_conf=False):
+        for box in boxes:
+            if check_conf and box.detection_score < conf_th:
+                continue
+            cx, cy = box.translation[0], box.translation[1]
+            w, l = box.size[0], box.size[1]
+            yaw = np.arctan2(
+                *(Quaternion(box.rotation).rotation_matrix
+                  @ np.array([1, 0, 0]))[[1, 0]])
+            c, s = np.cos(yaw), np.sin(yaw)
+            local = np.array([[l, l, -l, -l, l], [w, -w, -w, w, w]]) / 2
+            pts = np.array([[c, -s], [s, c]]) @ local
+            ax.plot(pts[0] + cx, pts[1] + cy, color=color, linewidth=1.0)
+
+    draw(gt_boxes[sample_token] if hasattr(gt_boxes, '__getitem__')
+         else gt_boxes, 'g')
+    draw(pred_boxes[sample_token] if hasattr(pred_boxes, '__getitem__')
+         else pred_boxes, 'r', check_conf=True)
+
+    circle = plt.Circle((0, 0), eval_range, fill=False, linestyle='--',
+                        color='gray')
+    ax.add_patch(circle)
+    ax.plot(0, 0, 'x', color='black')
+    ax.set_xlim(-eval_range * 1.1, eval_range * 1.1)
+    ax.set_ylim(-eval_range * 1.1, eval_range * 1.1)
+    ax.set_aspect('equal')
+    ax.set_title(f'GT (green) vs predictions (red): {sample_token}')
+    if savepath is not None:
+        plt.savefig(savepath)
+        plt.close()

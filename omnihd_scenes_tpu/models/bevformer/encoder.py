@@ -123,6 +123,46 @@ class BEVFormerLayer(nn.Module):
         return x
 
 
+class MMBEVFormerLayer(nn.Module):
+    """Multi-modal BEVFormer layer (reference ``MM_BEVFormerLayer``,
+    ``encoder.py:415-592``): after spatial cross-attention the camera
+    BEV is fused with a lidar/radar BEV feature through learnable
+    sigmoid-gated weights."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    feedforward_channels: int = 512
+    tsa_points: int = 4
+    sca_points: int = 8
+    num_cams: int = 6
+
+    @nn.compact
+    def __call__(self, bev_query, bev_pos, value_queue, ref_2d_queue,
+                 cam_values, reference_points_cam, bev_mask,
+                 bev_spatial_shapes, cam_spatial_shapes, lidar_bev):
+        x = TemporalSelfAttention(
+            self.embed_dims, self.num_heads, 1, self.tsa_points,
+            name='tsa')(bev_query, value_queue, ref_2d_queue,
+                        bev_spatial_shapes, query_pos=bev_pos)
+        x = nn.LayerNorm()(x)
+        x = SpatialCrossAttention(
+            self.embed_dims, self.num_cams, self.num_heads, 1,
+            self.sca_points, name='sca')(
+                x, cam_values, reference_points_cam, bev_mask,
+                cam_spatial_shapes)
+        # Learnable per-modality fusion gates.
+        w_cam = nn.sigmoid(self.param('fusion_w_cam',
+                                      nn.initializers.zeros, (1,)))
+        w_pts = nn.sigmoid(self.param('fusion_w_pts',
+                                      nn.initializers.zeros, (1,)))
+        lidar_proj = nn.Dense(self.embed_dims, name='lidar_proj')(lidar_bev)
+        x = x * w_cam + lidar_proj * w_pts
+        x = nn.LayerNorm()(x)
+        x = FFN(self.embed_dims, self.feedforward_channels)(x)
+        x = nn.LayerNorm()(x)
+        return x
+
+
 class BEVFormerEncoder(nn.Module):
     """Stack of BEVFormerLayers producing the BEV embedding."""
 

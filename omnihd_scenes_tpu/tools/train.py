@@ -29,6 +29,8 @@ def parse_args():
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--cfg-options', nargs='+')
     p.add_argument('--no-validate', action='store_true')
+    p.add_argument('--bf16', action='store_true',
+                   help='bf16 compute policy (reference fp16 train path)')
     return p.parse_args()
 
 
@@ -116,6 +118,10 @@ def main():
     loss_fn = make_loss_fn_generic(
         model, mtype, anchors_np,
         depth_loss_weight=cfg.get('img_depth_loss_weight', 1.0))
+    if args.bf16 or cfg.get('bf16', False):
+        from omnihd_scenes_tpu.train.amp import bf16_policy
+
+        loss_fn = bf16_policy(loss_fn)
     train_step = make_train_step(loss_fn, tx)
 
     eval_fn = None

@@ -1,0 +1,118 @@
+"""Smaller components: beam reduction, chamfer, MM layer, eval render,
+shell wrappers."""
+
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnihd_scenes_tpu.data.beam_reduction import (BEAM_RANGE_DEG,
+                                                   reduce_lidar_beams)
+from omnihd_scenes_tpu.ops.chamfer import chamfer_distance
+
+
+class TestBeamReduction:
+    def _cloud(self, n=20000):
+        rng = np.random.RandomState(0)
+        pts = np.zeros((n, 4), np.float32)
+        r = rng.uniform(5, 60, n)
+        az = rng.uniform(-np.pi, np.pi, n)
+        el = np.radians(rng.choice(BEAM_RANGE_DEG, n))
+        pts[:, 0] = r * np.cos(el) * np.cos(az) + 1.26
+        pts[:, 1] = r * np.cos(el) * np.sin(az)
+        pts[:, 2] = r * np.sin(el) + 1.855
+        return pts
+
+    def test_reduction_ratios(self):
+        pts = self._cloud()
+        n64 = len(reduce_lidar_beams(pts, 64))
+        n32 = len(reduce_lidar_beams(pts, 32))
+        n16 = len(reduce_lidar_beams(pts, 16))
+        n4 = len(reduce_lidar_beams(pts, 4))
+        assert n64 > n32 > n16 > n4 > 0
+        # Roughly proportional to beam counts.
+        assert 0.3 < n64 / len(pts) < 0.7
+        assert n4 / len(pts) < 0.1
+
+    def test_feature_columns_preserved(self):
+        pts = self._cloud(1000)
+        pts[:, 3] = 7.0
+        out = reduce_lidar_beams(pts, 32)
+        assert np.allclose(out[:, 3], 7.0)
+
+
+class TestChamfer:
+    def test_identical_clouds_zero(self):
+        a = jnp.asarray(np.random.RandomState(0).randn(100, 3))
+        d_ab, d_ba = chamfer_distance(a, a)
+        assert float(d_ab) < 1e-9 and float(d_ba) < 1e-9
+
+    def test_known_offset(self):
+        a = jnp.zeros((4, 3))
+        b = jnp.ones((4, 3))
+        d_ab, d_ba = chamfer_distance(a, b)
+        assert np.isclose(float(d_ab), 3.0)
+
+    def test_chunking(self):
+        rng = np.random.RandomState(1)
+        a = jnp.asarray(rng.randn(100, 3))
+        b = jnp.asarray(rng.randn(77, 3))
+        d1 = chamfer_distance(a, b, chunk=16)
+        d2 = chamfer_distance(a, b, chunk=4096)
+        assert np.allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+
+class TestMMLayer:
+    def test_fusion_layer_forward(self):
+        from omnihd_scenes_tpu.models.bevformer.encoder import (
+            MMBEVFormerLayer, get_reference_points_2d)
+
+        nq, c = 48, 32
+        layer = MMBEVFormerLayer(embed_dims=c, num_heads=4, num_cams=2,
+                                 feedforward_channels=64)
+        rng = np.random.RandomState(0)
+        bev_q = rng.randn(nq, c).astype(np.float32)
+        bev_pos = rng.randn(nq, c).astype(np.float32)
+        value_q = np.stack([bev_q, bev_q])
+        ref2d = np.asarray(get_reference_points_2d(6, 8))
+        ref_queue = np.stack([ref2d, ref2d])
+        cam_values = rng.randn(2, 24, c).astype(np.float32)
+        ref_cam = rng.uniform(0.2, 0.8, (2, nq, 4, 2)).astype(np.float32)
+        bev_mask = np.ones((2, nq, 4), bool)
+        lidar_bev = rng.randn(nq, 16).astype(np.float32)
+
+        variables = layer.init(jax.random.PRNGKey(0), bev_q, bev_pos,
+                               value_q, ref_queue, cam_values, ref_cam,
+                               bev_mask, ((6, 8),), ((4, 6),), lidar_bev)
+        out = layer.apply(variables, bev_q, bev_pos, value_q, ref_queue,
+                          cam_values, ref_cam, bev_mask, ((6, 8),),
+                          ((4, 6),), lidar_bev)
+        assert out.shape == (nq, c)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestVisualizeSample:
+    def test_renders_png(self, synthetic_db, tmp_path):
+        from omnihd_scenes_tpu.eval.common import load_gt
+        from omnihd_scenes_tpu.eval.detection.data_classes import DetectionBox
+        from omnihd_scenes_tpu.eval.detection.render import visualize_sample
+
+        gt = load_gt(synthetic_db, 'val_mini', DetectionBox, verbose=False)
+        token = gt.sample_tokens[0]
+        preds = gt  # GT as predictions with score -1 -> below conf, fine
+        out = tmp_path / 'sample.png'
+        visualize_sample(synthetic_db, token, gt, preds,
+                         savepath=str(out))
+        assert out.exists() and out.stat().st_size > 1000
+
+
+class TestShellWrappers:
+    def test_scripts_exist_and_reference_clis(self):
+        root = osp.dirname(osp.dirname(osp.abspath(__file__)))
+        for name, module in (('dist_train.sh', 'tools.train'),
+                             ('dist_test.sh', 'tools.test')):
+            path = osp.join(root, 'tools', name)
+            assert osp.exists(path)
+            assert module in open(path).read()
