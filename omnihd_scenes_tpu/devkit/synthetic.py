@@ -169,13 +169,51 @@ def generate(dataroot: str, version: str = 'v1.0-mini',
                 'velocity_ego': [ego_speed, 0.1, 0.0],
             })
 
+            # Object states in the ego frame at this timestamp (reused
+            # by the sensor simulators below so returns lie ON objects).
+            ego_rot_inv = ego_rot.T
+            obj_ego = []
+            for k in range(cfg.n_objects):
+                center_global = obj_centers0[k] + obj_vels[k] * t
+                center_ego = ego_rot_inv @ (center_global - ego_pos)
+                vel_ego = ego_rot_inv @ (obj_vels[k]
+                                         - np.array([ego_speed, 0.1, 0.0]))
+                obj_ego.append((center_ego, obj_yaws[k] - ego_yaw,
+                                obj_sizes[k], vel_ego))
+
+            def object_surface_points(n_per_obj):
+                """Points on object box surfaces (ego frame)."""
+                pts, owners = [], []
+                for k, (c, yaw, size, _) in enumerate(obj_ego):
+                    if not (abs(c[0]) < 58 and abs(c[1]) < 38):
+                        continue
+                    local = rng.uniform(-0.5, 0.5, (n_per_obj, 3)) \
+                        * size[[0, 1, 2]]
+                    cy, sy = np.cos(yaw), np.sin(yaw)
+                    x = local[:, 0] * cy - local[:, 1] * sy + c[0]
+                    y = local[:, 0] * sy + local[:, 1] * cy + c[1]
+                    z = local[:, 2] * 0 + rng.uniform(-0.5, 1.5, n_per_obj) \
+                        * size[2] * 0.5 + c[2]
+                    pts.append(np.stack([x, y, z], 1))
+                    owners.extend([k] * n_per_obj)
+                if pts:
+                    return np.concatenate(pts), np.array(owners)
+                return np.zeros((0, 3)), np.zeros((0,), int)
+
             # Files -----------------------------------------------------
             lidar_rel = f'{scene_token}/lidar/{token}.bin'
-            pts = rng.uniform([-55, -38, -2.5], [55, 38, 4.0],
-                              size=(cfg.n_lidar_points, 3)).astype(np.float32)
+            n_bg = cfg.n_lidar_points * 3 // 4
+            bg = rng.uniform([-55, -38, -2.5], [55, 38, 4.0],
+                             size=(n_bg, 3)).astype(np.float32)
+            obj_pts, _ = object_surface_points(
+                max((cfg.n_lidar_points - n_bg) // max(cfg.n_objects, 1), 1))
+            pts = np.concatenate([bg, obj_pts.astype(np.float32)])[
+                :cfg.n_lidar_points]
+            if len(pts) < cfg.n_lidar_points:
+                pts = np.concatenate([pts, bg[:cfg.n_lidar_points - len(pts)]])
             lidar = np.concatenate(
-                [pts, rng.uniform(0, 255, size=(cfg.n_lidar_points, 1)),
-                 np.zeros((cfg.n_lidar_points, 1))], axis=1).astype(np.float32)
+                [pts, rng.uniform(0, 255, size=(len(pts), 1)),
+                 np.zeros((len(pts), 1))], axis=1).astype(np.float32)
             lidar.tofile(osp.join(dataroot, lidar_rel))
 
             cams_rel = {}
@@ -186,14 +224,35 @@ def generate(dataroot: str, version: str = 'v1.0-mini',
                 cams_rel[cam] = rel
 
             radars_rel = {}
+            ego_vel_ego = np.array([ego_speed, 0.1, 0.0])
             for radar in RADAR_TYPES:
                 rel = f'{scene_token}/{radar}/{token}.bin'
                 n = cfg.n_radar_points
+                r_rot = _yaw_mat(np.deg2rad(RADAR_YAWS[radar]))
+                r_trans = r_rot @ np.array([2.0, 0, 0.6])
+                # Background clutter (sensor frame, forward-looking).
+                n_bg = n // 2
                 rpts = np.zeros((n, 8), dtype=np.float32)
-                rpts[:, 0] = rng.uniform(1, 80, n)      # x (radar frame, fwd)
-                rpts[:, 1] = rng.uniform(-30, 30, n)    # y
-                rpts[:, 2] = rng.uniform(-1, 3, n)      # z
-                rpts[:, 3] = rng.uniform(-10, 10, n)    # radial velocity
+                rpts[:n_bg, 0] = rng.uniform(1, 80, n_bg)
+                rpts[:n_bg, 1] = rng.uniform(-30, 30, n_bg)
+                rpts[:n_bg, 2] = rng.uniform(-1, 3, n_bg)
+                rpts[:n_bg, 3] = rng.uniform(-10, 10, n_bg)
+                # Object reflections with physically consistent radial
+                # velocity (relative velocity projected on the line of
+                # sight, measured in the sensor frame) — exercises the
+                # loader's ego-motion Doppler compensation end to end.
+                obj_pts, owners = object_surface_points(
+                    max(n_bg // max(cfg.n_objects, 1), 1))
+                m = min(len(obj_pts), n - n_bg)
+                if m > 0:
+                    p_sensor = (obj_pts[:m] - r_trans) @ r_rot
+                    # obj_ego[k][3] is already relative to the ego.
+                    rel_vel = np.stack([obj_ego[k][3] for k in owners[:m]])
+                    v_sensor = rel_vel @ r_rot
+                    los = p_sensor / np.clip(np.linalg.norm(
+                        p_sensor, axis=1, keepdims=True), 1e-6, None)
+                    rpts[n_bg:n_bg + m, 0:3] = p_sensor
+                    rpts[n_bg:n_bg + m, 3] = np.sum(v_sensor * los, axis=1)
                 rpts[:, 4] = rng.uniform(5, 40, n)      # power
                 rpts[:, 5] = rng.randint(0, 2, n)       # motion_state
                 rpts[:, 6] = rng.uniform(2, 30, n)      # SNR
