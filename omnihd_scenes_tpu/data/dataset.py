@@ -288,6 +288,7 @@ class NewScenesDetDataset:
 
     def evaluate(self, results: List[Dict], dataroot: str, version: str,
                  eval_set: str, jsonfile_prefix: str,
+                 bad_conditions: bool = False,
                  verbose: bool = False) -> Dict[str, float]:
         """Run the devkit detection eval on formatted results."""
         from omnihd_scenes_tpu.devkit.database import NewScenes
@@ -301,7 +302,7 @@ class NewScenesDetDataset:
         ev = DetectionEval(newsc, config=cfg, result_path=res_path,
                            eval_set=eval_set,
                            output_dir=osp.join(jsonfile_prefix, 'metrics'),
-                           verbose=verbose)
+                           verbose=verbose, bad_conditions=bad_conditions)
         metrics, _ = ev.evaluate()
         summary = metrics.serialize()
         out = {'mAP': summary['mean_ap'], 'NOS': summary['NOS']}

@@ -67,7 +67,7 @@ def lss_splat(depth: jnp.ndarray,
               feat: jnp.ndarray,
               voxel_ids: jnp.ndarray,
               n_cells: int,
-              chunk_d: int = 8) -> jnp.ndarray:
+              chunk_d: int = 4) -> jnp.ndarray:
     """Model-level LSS splat without materializing the (P, C) product.
 
     Args:

@@ -24,6 +24,8 @@ def parse_args():
                    help='run the devkit detection eval')
     p.add_argument('--format-only', action='store_true')
     p.add_argument('--out-dir')
+    p.add_argument('--bad-conditions', action='store_true',
+                   help='evaluate only rainy/night scenes')
     p.add_argument('--cfg-options', nargs='+')
     return p.parse_args()
 
@@ -92,6 +94,7 @@ def main():
     if args.eval:
         metrics = evaluate_results(dataset, outputs, cfg.dataroot,
                                    cfg.version, cfg.eval_set, out_dir,
+                                   bad_conditions=args.bad_conditions,
                                    verbose=True)
         print(json.dumps(metrics, indent=2))
 

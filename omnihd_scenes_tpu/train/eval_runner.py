@@ -69,22 +69,44 @@ def run_streaming_inference(predict_stream, state, dataset,
 def evaluate_results(dataset, outputs: Dict, dataroot: str, version: str,
                      eval_set: str, jsonfile_prefix: str,
                      occ_class_names=None,
+                     bad_conditions: bool = False,
                      verbose: bool = False) -> Dict[str, float]:
-    """Detection (+ occupancy) metrics from inference outputs."""
+    """Detection (+ occupancy) metrics from inference outputs.
+
+    ``bad_conditions`` restricts both tasks to rainy/night scenes
+    (reference ``od_occ_mtl_test.py:56-71`` ``bad_condition_occ`` and
+    the detection loader filter).
+    """
+    bad_ok = None
+    if bad_conditions:
+        from omnihd_scenes_tpu.devkit.database import NewScenes
+
+        newsc = NewScenes(version=version, dataroot=dataroot, verbose=False)
+        bad_ok = set()
+        for scene in {i['scene_token'] for i in dataset.infos}:
+            meta = newsc.get('meta', scene)['meta']
+            if meta['weather'] == 'rainy' or meta['lighting'] == 'night':
+                bad_ok.add(scene)
+
     metrics = dataset.evaluate(outputs['bbox_results'], dataroot=dataroot,
                                version=version, eval_set=eval_set,
                                jsonfile_prefix=jsonfile_prefix,
+                               bad_conditions=bad_conditions,
                                verbose=verbose)
     if outputs.get('occ_results'):
         scores = []
         n_cls = None
         for idx, occ_pred in enumerate(outputs['occ_results']):
+            if bad_ok is not None \
+                    and dataset.infos[idx]['scene_token'] not in bad_ok:
+                continue
             gt = dataset._load_occ(dataset.infos[idx])
             if n_cls is None:
                 n_cls = int(max(occ_pred.max(), gt.max())) + 1
             scores.append(evaluation_semantic(occ_pred, gt, n_cls))
-        occ_summary = summarize_occ_scores(
-            scores, occ_class_names
-            or [f'cls_{i}' for i in range(1, n_cls)])
-        metrics.update({f'occ_{k}': v for k, v in occ_summary.items()})
+        if scores:
+            occ_summary = summarize_occ_scores(
+                scores, occ_class_names
+                or [f'cls_{i}' for i in range(1, n_cls)])
+            metrics.update({f'occ_{k}': v for k, v in occ_summary.items()})
     return metrics
