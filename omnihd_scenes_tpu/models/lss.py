@@ -28,6 +28,7 @@ import numpy as np
 
 from omnihd_scenes_tpu.models.layers import ConvBNReLU
 from omnihd_scenes_tpu.ops.bev_pool import frustum_voxel_ids, lss_splat
+from omnihd_scenes_tpu.ops.lss_project import lss_sample_bev
 
 
 @dataclass(frozen=True)
@@ -41,6 +42,17 @@ class LSSConfig:
     inputC: int = 256                           # image feature channels
     camC: int = 64                              # lifted feature channels
     outC: int = 256                             # BEV output channels
+    # View-transform implementation:
+    #   'sample'  — gather-dual one-hot-matmul transform (MXU, ~20x
+    #               faster on TPU; Simple-BEV-style sampling semantics);
+    #   'scatter' — exact splat-sum parity with the reference CUDA
+    #               bev_pool_v2 (XLA scatter-add; slow on TPU).
+    splat_mode: str = 'sample'
+    # Per-camera-slot flag for the sampling transform: True for cameras
+    # viewing mostly along BEV x.  Default matches the OmniHD rig order
+    # (front, left_front, right_front, back, left_back, right_back at
+    # yaws 0/55/-55/180/125/-125 deg — devkit converter CAMERA_TYPES).
+    cam_solve_x: Tuple[bool, ...] = (True, False, False, True, False, False)
 
     @property
     def feat_hw(self) -> Tuple[int, int]:
@@ -148,7 +160,20 @@ class LiftSplatShoot(nn.Module):
             depth_logits = None
         # feat: (B, N, fH, fW, camC); depth: (B, N, fH, fW, D)
 
+        n_view = cam_feats.shape[1]
+        solve_x = (cfg.cam_solve_x + (True,) * n_view)[:n_view]
+
         def splat_one(feat_b, depth_b, rots_b, trans_b):
+            if cfg.splat_mode == 'sample':
+                return lss_sample_bev(
+                    depth_b, feat_b, rots_b, trans_b,
+                    image_size=cfg.final_dim,
+                    depth_range=cfg.camera_depth_range,
+                    bev_start=(cfg.pc_range[0], cfg.pc_range[1],
+                               cfg.pc_range[2]),
+                    bev_voxel=(cfg.grid,) * 3,
+                    bev_nx=(nx, ny, nz),
+                    solve_x=solve_x)
             ids = frustum_voxel_ids(
                 frustum, rots_b, trans_b,
                 bev_start=(cfg.pc_range[0], cfg.pc_range[1], cfg.pc_range[2]),

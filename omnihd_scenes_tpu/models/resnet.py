@@ -25,10 +25,11 @@ class BasicBlock(nn.Module):
     def __call__(self, x):
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
-                    padding='SAME', use_bias=False)(x)
+                    padding=[(1, 1), (1, 1)], use_bias=False)(x)
         y = nn.BatchNorm(use_running_average=self.use_running_average)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding='SAME', use_bias=False)(y)
+        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False)(y)
         y = nn.BatchNorm(use_running_average=self.use_running_average)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1),
@@ -51,7 +52,7 @@ class Bottleneck(nn.Module):
         y = nn.BatchNorm(use_running_average=self.use_running_average)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
-                    padding='SAME', use_bias=False)(y)
+                    padding=[(1, 1), (1, 1)], use_bias=False)(y)
         y = nn.BatchNorm(use_running_average=self.use_running_average)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False)(y)

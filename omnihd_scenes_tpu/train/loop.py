@@ -53,7 +53,9 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
     a persistent zero norm here means the same thing.
     """
 
-    @jax.jit
+    # Donating the state halves peak parameter+optimizer memory (the
+    # old buffers are reused for the updated state).
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (aux, new_stats)), grads = grad_fn(
@@ -163,16 +165,22 @@ def run_training(state: TrainState,
         for it, batch in enumerate(prefetch(iter(train_loader))):
             batch = shard_batch(batch, mesh)
             state, loss, aux = train_step(state, batch)
-            if logger and (it % log_interval == 0):
-                rec = {'mode': 'train', 'epoch': epoch, 'iter': it,
-                       'loss': float(loss),
-                       'time': time.time() - t0}
-                rec.update({k: float(v) for k, v in aux.items()})
-                logger.log(rec)
-                t0 = time.time()
-            if not np.isfinite(float(loss)):
-                raise FloatingPointError(
-                    f'non-finite loss at epoch {epoch} iter {it}')
+            # The finite-guard piggybacks on the logging sync: blocking
+            # on the loss every step would serialize host and device
+            # and defeat the prefetch pipeline, so the device runs
+            # ahead and we only read back every ``log_interval`` steps.
+            if it % log_interval == 0:
+                loss_v = float(loss)
+                if not np.isfinite(loss_v):
+                    raise FloatingPointError(
+                        f'non-finite loss at epoch {epoch} iter {it}')
+                if logger:
+                    rec = {'mode': 'train', 'epoch': epoch, 'iter': it,
+                           'loss': loss_v,
+                           'time': time.time() - t0}
+                    rec.update({k: float(v) for k, v in aux.items()})
+                    logger.log(rec)
+                    t0 = time.time()
         if ckpt_dir and ((epoch + 1) % ckpt_interval == 0):
             save_checkpoint(ckpt_dir, state, epoch + 1)
         if eval_fn and ((epoch + 1) % eval_interval == 0):

@@ -52,6 +52,7 @@ def _inputs(b=1):
 
 
 class TestBEVFusionForward:
+    @pytest.mark.slow
     def test_fusion_shapes(self):
         model = BEVFusion(TINY_FUSION)
         pts, pmask, imgs, rots, trans = _inputs()

@@ -1,5 +1,6 @@
 """Fixpoint NMS must agree exactly with a sequential greedy reference."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +37,7 @@ def _rand_boxes(rng, n, spread=6.0):
     return boxes
 
 
+@pytest.mark.slow
 def test_matches_sequential_greedy_dense():
     rng = np.random.RandomState(0)
     for trial in range(5):
@@ -50,6 +52,7 @@ def test_matches_sequential_greedy_dense():
         assert np.array_equal(keep, ref), trial
 
 
+@pytest.mark.slow
 def test_long_chain_converges():
     """A long suppression chain (worst case for fixpoint iteration)."""
     n = 40

@@ -57,6 +57,7 @@ class TestDistributedHelpers:
 
 
 class TestBF16Policy:
+    @pytest.mark.slow
     def test_finite_loss_and_grads(self):
         from omnihd_scenes_tpu.train.amp import bf16_policy
         from omnihd_scenes_tpu.train.detection import make_loss_fn
@@ -94,6 +95,7 @@ class TestGraftEntry:
 
         g.dryrun_multichip(8)
 
+    @pytest.mark.slow
     def test_dryrun_subset(self):
         import __graft_entry__ as g
 

@@ -117,6 +117,7 @@ class TestLossAndDecode:
         assert float(losses['loss_bbox']) < 1e-5
         assert float(losses['loss_dir']) < 1e-4
 
+    @pytest.mark.slow
     def test_decode_recovers_gt(self):
         """get_bboxes on ideal predictions returns the GT boxes."""
         h, w = TINY.head_hw

@@ -83,6 +83,7 @@ class TestDataset:
 
 
 class TestTraining:
+    @pytest.mark.slow
     def test_loss_decreases_and_eval_runs(self, datasets, synthetic_dataroot,
                                           tmp_path):
         train_ds, val_ds = datasets
