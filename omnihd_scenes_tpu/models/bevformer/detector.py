@@ -43,6 +43,8 @@ class BEVFormerConfig:
     pc_range: Tuple[float, ...] = (-60, -40, -3.0, 60, 40, 5.0)
     resnet_depth: int = 50
     resnet_out_indices: Tuple[int, ...] = (3,)
+    # DCNv2 stages (reference R101-DCN: (False, True, True, True)).
+    stage_with_dcn: Tuple[bool, bool, bool, bool] = (False,) * 4
     fpn_outs: int = 1
     img_hw: Tuple[int, int] = (544, 960)
 
@@ -75,7 +77,8 @@ class BEVFormerDetector(nn.Module):
     def setup(self):
         self.img_backbone = ResNet(depth=self.cfg.resnet_depth,
                                    out_indices=self.cfg.resnet_out_indices,
-                                   frozen_bn=True)
+                                   frozen_bn=True,
+                                   stage_with_dcn=self.cfg.stage_with_dcn)
         self.img_neck = FPN(out_channels=self.cfg.embed_dims,
                             num_outs=self.cfg.fpn_outs)
         self.pts_bbox_head = BEVFormerHead(

@@ -15,21 +15,26 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from omnihd_scenes_tpu.models.dcn import DeformConv
+
 
 class BasicBlock(nn.Module):
     features: int
     strides: int = 1
     use_running_average: bool = True
+    dcn: bool = False
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
-                    padding=[(1, 1), (1, 1)], use_bias=False)(x)
+        conv3 = (DeformConv if self.dcn else
+                 lambda f, k, **kw: nn.Conv(f, (k, k),
+                                            padding=[(1, 1), (1, 1)], **kw))
+        y = conv3(self.features, 3, strides=(self.strides, self.strides)
+                  if not self.dcn else self.strides, use_bias=False)(x)
         y = nn.BatchNorm(use_running_average=self.use_running_average)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
-                    use_bias=False)(y)
+        y = conv3(self.features, 3, use_bias=False)(y)
         y = nn.BatchNorm(use_running_average=self.use_running_average)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1),
@@ -44,6 +49,8 @@ class Bottleneck(nn.Module):
     features: int
     strides: int = 1
     use_running_average: bool = True
+    dcn: bool = False          # DCNv2 on the 3x3 conv (reference
+                               # R101-DCN stages, mmcv dcn=DCNv2)
 
     @nn.compact
     def __call__(self, x):
@@ -51,8 +58,13 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.features, (1, 1), use_bias=False)(x)
         y = nn.BatchNorm(use_running_average=self.use_running_average)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
-                    padding=[(1, 1), (1, 1)], use_bias=False)(y)
+        if self.dcn:
+            y = DeformConv(self.features, 3, strides=self.strides,
+                           use_bias=False)(y)
+        else:
+            y = nn.Conv(self.features, (3, 3),
+                        strides=(self.strides,) * 2,
+                        padding=[(1, 1), (1, 1)], use_bias=False)(y)
         y = nn.BatchNorm(use_running_average=self.use_running_average)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False)(y)
@@ -81,6 +93,9 @@ class ResNet(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     frozen_bn: bool = True          # reference norm_eval=True
     stem_channels: int = 64
+    # Per-stage DCNv2 switch (reference R101-DCN:
+    # stage_with_dcn=(False, True, True, True)).
+    stage_with_dcn: Tuple[bool, bool, bool, bool] = (False,) * 4
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -98,10 +113,12 @@ class ResNet(nn.Module):
         features = 64
         for i, n_blocks in enumerate(stage_blocks):
             stride = 1 if i == 0 else 2
+            dcn = self.stage_with_dcn[i]
             x = block_cls(features, strides=stride,
-                          use_running_average=ura)(x)
+                          use_running_average=ura, dcn=dcn)(x)
             for _ in range(n_blocks - 1):
-                x = block_cls(features, use_running_average=ura)(x)
+                x = block_cls(features, use_running_average=ura,
+                              dcn=dcn)(x)
             if i in self.out_indices:
                 outs.append(x)
             features *= 2
