@@ -54,9 +54,17 @@ def main():
         cfg.pillars.anchors()[None])
     decode_cfg = DecodeCfg()         # nms_pre=1000, max_num=500
 
-    params = jax.device_put(variables['params'])
-    stats = jax.device_put(variables.get('batch_stats', {}))
-    dev_in = jax.device_put((points, mask, imgs, rots, trans, anchors_b))
+    def to_bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, 'dtype') and x.dtype == np.float32 else x, tree)
+
+    # bf16 deployment precision: conv/matmul compute in bf16 (2x MXU
+    # throughput, halved HBM traffic); box decode + NMS stay f32.
+    params = jax.device_put(to_bf16(variables['params']))
+    stats = jax.device_put(to_bf16(variables.get('batch_stats', {})))
+    dev_in = jax.device_put(to_bf16((points, mask, imgs, rots, trans,
+                                     anchors_b)))
 
     @jax.jit
     def bench_loop(p, s, pts, msk, im, r, t, anc):
@@ -65,11 +73,13 @@ def main():
             out = model.apply({'params': p, 'batch_stats': s},
                               pts, msk, im_i, r, t, train=False)
             boxes, scores, labels, valid = jax.vmap(
-                lambda c, b, d, a: anchor_head_get_bboxes(c, b, d, a,
-                                                          decode_cfg))(
+                lambda c, b, d, a: anchor_head_get_bboxes(
+                    c.astype(jnp.float32), b.astype(jnp.float32),
+                    d.astype(jnp.float32), a.astype(jnp.float32),
+                    decode_cfg))(
                 out['cls_score'], out['bbox_pred'], out['dir_pred'], anc)
-            return jnp.sum(scores)
-        return jax.lax.fori_loop(0, N_ITERS, body, jnp.float32(0))
+            return jnp.sum(scores).astype(jnp.bfloat16)
+        return jax.lax.fori_loop(0, N_ITERS, body, jnp.bfloat16(0))
 
     # Warmup / compile.
     float(bench_loop(params, stats, *dev_in))

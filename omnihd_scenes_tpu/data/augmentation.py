@@ -104,3 +104,149 @@ def random_flip_3d(points: np.ndarray, gt_boxes: np.ndarray,
     boxes[:, 6] = -boxes[:, 6]
     boxes[:, 8] = -boxes[:, 8]
     return pts, boxes, True
+
+
+# ---------------------------------------------------------------------------
+# Image-space augmentations (reference pipelines/augmentation.py:10-369)
+# ---------------------------------------------------------------------------
+
+def sample_crop_resize_flip(rng: np.random.RandomState,
+                            aug_conf: Dict,
+                            training: bool = True):
+    """Draw one (resize, resize_dims, crop, flip) tuple shared by all
+    views (reference ``CropResizeFlipImage._sample_augmentation``).
+
+    aug_conf: {'resize': [h0, h1, ...] target heights, 'crop':
+    (x0, y0, x1, y1), 'rand_flip': bool}.
+    """
+    crop = tuple(aug_conf['crop'])
+    heights = aug_conf.get('resize') or aug_conf.get('reisze')
+    resized_h = heights[rng.randint(len(heights))] if training \
+        else heights[0]
+    crop_h = crop[3] - crop[1]
+    crop_w = crop[2] - crop[0]
+    resize = resized_h / crop_h
+    resize_dims = (int(resized_h / crop_h * crop_w), int(resized_h))
+    flip = bool(training and aug_conf.get('rand_flip')
+                and rng.randint(2))
+    return resize, resize_dims, crop, flip
+
+
+def crop_resize_flip_images(imgs: np.ndarray,
+                            lidar2img: np.ndarray,
+                            resize: float,
+                            resize_dims: Tuple[int, int],
+                            crop: Tuple[int, int, int, int],
+                            flip: bool):
+    """Crop + resize + optional horizontal flip of all views, with the
+    homography folded into ``lidar2img`` (reference
+    ``CropResizeFlipImage``).  Unlike the reference — which leaves the
+    flip out of the matrix and compensates inside the network — the
+    flip IS folded in here, so projections stay consistent end-to-end.
+
+    imgs: (N, H, W, 3); lidar2img: (N, 4, 4).
+    Returns (imgs', lidar2img') with imgs' (N, h', w', 3).
+    """
+    import cv2
+
+    new_w, new_h = resize_dims
+    x0, y0, x1, y1 = crop
+    ida = np.eye(3, dtype=np.float64)
+    ida[0, 0] = ida[1, 1] = resize
+    ida[0, 2] = -x0 * resize
+    ida[1, 2] = -y0 * resize
+    if flip:
+        ida = np.array([[-1, 0, new_w - 1], [0, 1, 0], [0, 0, 1]],
+                       np.float64) @ ida
+    ida4 = np.eye(4, dtype=np.float64)
+    ida4[:2, :2] = ida[:2, :2]
+    ida4[:2, 2] = ida[:2, 2]      # translation rides the depth row
+
+    out_imgs = []
+    out_l2i = []
+    for n in range(imgs.shape[0]):
+        img = imgs[n, y0:y1, x0:x1]
+        img = cv2.resize(img, (new_w, new_h),
+                         interpolation=cv2.INTER_LINEAR)
+        if flip:
+            img = img[:, ::-1]
+        out_imgs.append(np.ascontiguousarray(img))
+        out_l2i.append((ida4 @ lidar2img[n].astype(np.float64)
+                        ).astype(lidar2img.dtype))
+    return np.stack(out_imgs), np.stack(out_l2i)
+
+
+def global_rot_scale_trans_image(gt_boxes: np.ndarray,
+                                 lidar2img: np.ndarray,
+                                 rng: np.random.RandomState,
+                                 rot_range: Tuple[float, float] = (-22.5,
+                                                                   22.5),
+                                 scale_ratio_range: Tuple[float, float]
+                                 = (0.95, 1.05),
+                                 flip_dx_ratio: float = 0.5,
+                                 flip_dy_ratio: float = 0.5,
+                                 points: Optional[np.ndarray] = None,
+                                 vel_dims: Optional[Tuple[int, int]] = None):
+    """BEV-space rot/scale/flip for camera models: transform the GT
+    (and optionally points) and fold the inverse into ``lidar2img`` so
+    the images need no change (reference ``GlobalRotScaleTransImage``:
+    rotate_bev_along_z -> scale_xyz -> flip_along_x/y, each
+    right-multiplying lidar2img by the inverse; rot_range in degrees).
+
+    gt_boxes: (G, 9); lidar2img: (N, 4, 4).
+    Returns (gt_boxes', lidar2img', points', params_dict).
+    """
+    angle = np.deg2rad(rng.uniform(*rot_range))
+    scale = rng.uniform(*scale_ratio_range)
+    flip_dx = bool(rng.uniform() < flip_dx_ratio)
+    flip_dy = bool(rng.uniform() < flip_dy_ratio)
+
+    c, s = np.cos(angle), np.sin(angle)
+    rot = np.array([[c, -s], [s, c]], np.float64)
+
+    boxes = gt_boxes.astype(np.float64).copy()
+    boxes[:, :2] = boxes[:, :2] @ rot.T
+    boxes[:, 6] += angle
+    boxes[:, 7:9] = boxes[:, 7:9] @ rot.T
+    boxes[:, :3] *= scale
+    boxes[:, 3:6] *= scale
+    boxes[:, 7:9] *= scale
+    pts = None if points is None else points.astype(np.float64).copy()
+    if pts is not None:
+        pts[:, :2] = pts[:, :2] @ rot.T
+        pts[:, :3] *= scale
+        if vel_dims is not None:
+            a, b = vel_dims
+            pts[:, a:b] = pts[:, a:b] @ rot.T * scale
+    if flip_dx:                                   # x -> -x ('vertical')
+        boxes[:, 0] = -boxes[:, 0]
+        boxes[:, 6] = -boxes[:, 6] + np.pi
+        boxes[:, 7] = -boxes[:, 7]
+        if pts is not None:
+            pts[:, 0] = -pts[:, 0]
+            if vel_dims is not None:
+                pts[:, vel_dims[0]] = -pts[:, vel_dims[0]]
+    if flip_dy:                                   # y -> -y ('horizontal')
+        boxes[:, 1] = -boxes[:, 1]
+        boxes[:, 6] = -boxes[:, 6]
+        boxes[:, 8] = -boxes[:, 8]
+        if pts is not None:
+            pts[:, 1] = -pts[:, 1]
+            if vel_dims is not None:
+                pts[:, vel_dims[0] + 1] = -pts[:, vel_dims[0] + 1]
+
+    tf = np.eye(4, dtype=np.float64)
+    tf[:2, :2] = rot
+    tf[:3, :3] = tf[:3, :3] * scale
+    if flip_dx:
+        tf = np.diag([-1.0, 1, 1, 1]) @ tf
+    if flip_dy:
+        tf = np.diag([1.0, -1, 1, 1]) @ tf
+    tf_inv = np.linalg.inv(tf)
+    new_l2i = np.stack([
+        (lidar2img[n].astype(np.float64) @ tf_inv).astype(lidar2img.dtype)
+        for n in range(lidar2img.shape[0])])
+    params = {'rot': float(angle), 'scale': float(scale),
+              'flip_dx': flip_dx, 'flip_dy': flip_dy}
+    return (boxes.astype(gt_boxes.dtype), new_l2i,
+            None if pts is None else pts.astype(points.dtype), params)

@@ -27,18 +27,25 @@ run on the MXU:
   pass 1 (contract image width):  for intermediate grid (image row j,
       BEV column b), solve the BEV coordinate along the camera viewing
       axis whose projection hits image row v_j, compute the continuous
-      image column u*(j, b) there, and contract the (feat || depth)
-      channels against the one-hot ``(round(u*) == i)``.
+      image column u*(j, b) there, and contract the feat/depth channels
+      against the one-hot ``(round(u*) == i)``.
   pass 2 (contract image rows):   for each output cell (g, b), compute
       the continuous image row v*(g, b) and contract against
       ``(round(v*) == j)``.
-  depth select: the depth channel block was carried through both
-      passes; select bin ``round((d* - d0)/dd)`` with a per-cell
-      one-hot over the D channels (VPU elementwise).
+  depth select: the depth channels were carried through both passes;
+      select bin ``round((d* - d0)/dd)`` with a per-cell one-hot over
+      the D channels.
 
-Both one-hot operands are built in-graph from ``broadcasted_iota``
-comparisons — no host tables, no gathers, fully differentiable w.r.t.
-``feat`` and ``depth``.
+One-hot operands are built in-graph from iota comparisons — no host
+tables, no gathers, fully differentiable w.r.t. ``feat`` and ``depth``.
+
+Two interchangeable implementations (verified identical in tests):
+  * ``impl='einsum'`` — pure XLA einsums (runs anywhere, used for the
+    backward pass);
+  * ``impl='pallas'`` — fused TPU kernels
+    (:mod:`omnihd_scenes_tpu.ops.pallas_splat`) that build the one-hots
+    in VMEM, avoiding the O(fW) / O(fH) one-hot HBM round-trips that
+    dominate the einsum lowering (29 ms -> ~5 ms at production scale).
 
 Per camera the well-conditioned parametrization depends on the viewing
 direction: cameras looking along BEV x (front/back) solve for x and
@@ -70,6 +77,97 @@ def _clean_idx(x, valid):
     return jnp.clip(jnp.round(x), -1, _BIG).astype(jnp.int32)
 
 
+class _Geom:
+    """Static geometry bundle shared by both implementations."""
+
+    def __init__(self, image_size, feat_hw, depth_range, bev_start,
+                 bev_voxel, bev_nx):
+        self.h_img, self.w_img = image_size
+        self.f_h, self.f_w = feat_hw
+        self.d0, self.d1, self.dd = depth_range
+        self.nx, self.ny, self.nz = (int(v) for v in bev_nx)
+        self.v_scale = (self.f_h - 1) / max(self.h_img - 1, 1)
+        self.u_scale = (self.f_w - 1) / max(self.w_img - 1, 1)
+        self.ys = jnp.asarray(
+            np.linspace(0, self.h_img - 1, self.f_h, dtype=np.float32))
+        self.xc = jnp.asarray(
+            bev_start[0]
+            + (np.arange(self.nx, dtype=np.float32) + 0.5) * bev_voxel[0])
+        self.yc = jnp.asarray(
+            bev_start[1]
+            + (np.arange(self.ny, dtype=np.float32) + 0.5) * bev_voxel[1])
+        self.zc = jnp.asarray(
+            bev_start[2]
+            + (np.arange(self.nz, dtype=np.float32) + 0.5) * bev_voxel[2])
+
+
+def _sample_indices(minv_n, mt_n, solve_axis_x: bool, g: _Geom):
+    """Per-camera index fields for the two passes.
+
+    Returns:
+        i_star: (fH, nz, n_b) int32 — pass-1 image-column index.
+        j_star: (nz, n_b, n_g) int32 — pass-2 image-row index.
+        kd_star: (nz, n_b, n_g) int32 — depth-bin index.
+    n_b/n_g are (ny, nx) when solve_axis_x else (nx, ny).
+    """
+    if solve_axis_x:
+        a_col = minv_n[:, 0]                       # coeff of solved X
+        bc, gc = g.yc, g.xc
+        fixed = minv_n[:, 1]                       # coeff of column Y
+    else:
+        a_col = minv_n[:, 1]
+        bc, gc = g.xc, g.yc
+        fixed = minv_n[:, 0]
+    # c[a, k, b] = fixed_a * bc_b + Minv[a,2] * zc_k + mt_a
+    cc = (fixed[:, None, None] * bc[None, None, :]
+          + minv_n[:, 2][:, None, None] * g.zc[None, :, None]
+          + mt_n[:, None, None])                  # (3, nz, n_b)
+    d_floor = max(1e-3, g.d0 * 0.5)
+
+    # ---- pass 1: solve q1/q2 = v_j for the free coordinate s ----
+    v = g.ys[:, None, None]                        # (fH, 1, 1)
+    denom = a_col[1] - v * a_col[2]
+    s_star = _safe_div(v * cc[2][None] - cc[1][None], denom)
+    q2s = a_col[2] * s_star + cc[2][None]          # depth at (j, k, b)
+    us = _safe_div(a_col[0] * s_star + cc[0][None], q2s)
+    ok1 = (q2s > d_floor) & (us > -0.5) & (us < g.w_img - 0.5)
+    i_star = _clean_idx(us * g.u_scale, ok1)       # (fH, nz, n_b)
+
+    # ---- pass 2: full projection at output cell (k, b, g) ----
+    qf = (a_col[:, None, None, None] * gc[None, None, None, :]
+          + cc[:, :, :, None])                     # (3, nz, n_b, n_g)
+    d_star = qf[2]
+    vs = _safe_div(qf[1], d_star)
+    ok2 = (d_star > d_floor) & (vs > -0.5) & (vs < g.h_img - 0.5)
+    j_star = _clean_idx(vs * g.v_scale, ok2)       # (nz, n_b, n_g)
+    kd_star = _clean_idx((d_star - g.d0) / g.dd, ok2)
+    return i_star, j_star, kd_star
+
+
+def _variant_einsum(fp_n, i_star, j_star, kd_star, c_ch, d_bins,
+                    compute_dtype):
+    """One camera via XLA einsums.  fp_n: (fH, fW, C+D)."""
+    f_h, f_w = fp_n.shape[:2]
+    iota_i = jnp.arange(f_w, dtype=jnp.int32)
+    iota_j = jnp.arange(f_h, dtype=jnp.int32)
+    iota_d = jnp.arange(d_bins, dtype=jnp.int32)
+
+    onehot1 = (i_star[..., None] == iota_i).astype(compute_dtype)
+    # (fH, nz, n_b, fW) x (fH, fW, M) -> (nz, fH, n_b, M)
+    inter = jnp.einsum('jkbi,jim->kjbm', onehot1, fp_n,
+                       preferred_element_type=jnp.float32)
+    inter = inter.astype(compute_dtype)
+
+    onehot2 = (j_star[..., None] == iota_j).astype(compute_dtype)
+    # (nz, fH, n_b, M) x (nz, n_b, n_g, fH) -> (nz, n_b, n_g, M)
+    out_plus = jnp.einsum('kjbm,kbgj->kbgm', inter, onehot2,
+                          preferred_element_type=jnp.float32)
+
+    onehot_d = (kd_star[..., None] == iota_d).astype(out_plus.dtype)
+    w = jnp.sum(out_plus[..., c_ch:] * onehot_d, axis=-1)
+    return out_plus[..., :c_ch] * w[..., None]     # (nz, n_b, n_g, C)
+
+
 def lss_sample_bev(depth: jnp.ndarray,
                    feat: jnp.ndarray,
                    rots: jnp.ndarray,
@@ -81,7 +179,8 @@ def lss_sample_bev(depth: jnp.ndarray,
                    bev_voxel: Sequence[float],
                    bev_nx: Sequence[int],
                    solve_x: Sequence[bool],
-                   compute_dtype=None) -> jnp.ndarray:
+                   compute_dtype=None,
+                   impl: str = 'auto') -> jnp.ndarray:
     """Sample camera features into the BEV grid (one sample).
 
     Args:
@@ -100,107 +199,59 @@ def lss_sample_bev(depth: jnp.ndarray,
         solve_x: per-camera flag — True for cameras viewing mostly along
             BEV x (front/back), False for side cameras.
         compute_dtype: matmul dtype for the one-hot contractions.
+        impl: 'einsum', 'pallas', or 'auto' (pallas on TPU backends).
 
     Returns:
         (nz, ny, nx, C) BEV features (sum over cameras).
     """
+    backend = jax.default_backend()
     if compute_dtype is None:
         # bf16 one-hot contractions are exact here (each one-hot row has
         # a single nonzero, so there is no accumulation error), but the
         # CPU backend lacks the BF16xBF16=F32 dot — keep f32 off-TPU.
-        compute_dtype = (jnp.float32 if jax.default_backend() == 'cpu'
-                         else jnp.bfloat16)
+        compute_dtype = jnp.float32 if backend == 'cpu' else jnp.bfloat16
+    if impl == 'auto':
+        # Measured at production scale (BENCH.md): einsum 13.7 ms,
+        # pallas 15.0 ms — kernel B's fH-strided intermediate reads eat
+        # the fused kernels' one-hot-traffic win, so einsum stays the
+        # default until the intermediate layout is reworked.
+        impl = 'einsum'
+
     n_cams, f_h, f_w, d_bins = depth.shape
     c_ch = feat.shape[-1]
-    h_img, w_img = image_size
-    nx, ny, nz = (int(v) for v in bev_nx)
-    d0, _d1, dd = depth_range
+    geom = _Geom(image_size, (f_h, f_w), depth_range, bev_start,
+                 bev_voxel, bev_nx)
+    nz, ny, nx = geom.nz, geom.ny, geom.nx
 
     # q = Minv @ p + mt gives (u*d, v*d, d) for lidar point p.
     minv = jnp.linalg.inv(rots.astype(jnp.float32))
     mt = -jnp.einsum('nij,nj->ni', minv, trans.astype(jnp.float32))
 
-    # Frustum pixel coordinate grids (original-image units).
-    ys = np.linspace(0, h_img - 1, f_h, dtype=np.float32)          # rows
-    v_scale = (f_h - 1) / max(h_img - 1, 1)
-    u_scale = (f_w - 1) / max(w_img - 1, 1)
-    xc = bev_start[0] + (np.arange(nx, dtype=np.float32) + 0.5) * bev_voxel[0]
-    yc = bev_start[1] + (np.arange(ny, dtype=np.float32) + 0.5) * bev_voxel[1]
-    zc = bev_start[2] + (np.arange(nz, dtype=np.float32) + 0.5) * bev_voxel[2]
-    ys, xc, yc, zc = (jnp.asarray(a) for a in (ys, xc, yc, zc))
+    solve_x = tuple(bool(s) for s in solve_x)
+    assert len(solve_x) == n_cams, (solve_x, n_cams)
+
+    if impl == 'pallas':
+        from omnihd_scenes_tpu.ops.pallas_splat import sample_bev_pallas
+
+        return sample_bev_pallas(depth, feat, minv, mt, geom, solve_x,
+                                 einsum_ref=lambda d, f: lss_sample_bev(
+                                     d, f, rots, trans,
+                                     image_size=image_size,
+                                     depth_range=depth_range,
+                                     bev_start=bev_start,
+                                     bev_voxel=bev_voxel, bev_nx=bev_nx,
+                                     solve_x=solve_x,
+                                     compute_dtype=compute_dtype,
+                                     impl='einsum'))
 
     fp = jnp.concatenate([feat, depth], axis=-1).astype(compute_dtype)
-    iota_i = jnp.arange(f_w, dtype=jnp.int32)
-    iota_j = jnp.arange(f_h, dtype=jnp.int32)
-    iota_d = jnp.arange(d_bins, dtype=jnp.int32)
-
-    def _variant(fp_n, minv_n, mt_n, solve_axis_x: bool):
-        """One camera.  solve_axis_x=True: intermediate columns b index
-        BEV y; the coordinate solved from the image row is BEV x (and
-        output rows g index x).  False: x<->y swapped."""
-        if solve_axis_x:
-            a_col = minv_n[:, 0]                       # coeff of solved X
-            bc, gc, n_b, n_g = yc, xc, ny, nx
-            fixed = minv_n[:, 1]                       # coeff of column Y
-        else:
-            a_col = minv_n[:, 1]
-            bc, gc, n_b, n_g = xc, yc, nx, ny
-            fixed = minv_n[:, 0]
-        # c[a, k, b] = fixed_a * bc_b + Minv[a,2] * zc_k + mt_a
-        cc = (fixed[:, None, None] * bc[None, None, :]
-              + minv_n[:, 2][:, None, None] * zc[None, :, None]
-              + mt_n[:, None, None])                  # (3, nz, n_b)
-
-        # ---- pass 1: contract image width ----
-        # Solve q1/q2 = v_j for the free coordinate s:
-        #   s*(j,k,b) = (v_j * c2 - c1) / (a1 - v_j * a2)
-        v = ys[:, None, None]                          # (fH, 1, 1)
-        denom = a_col[1] - v * a_col[2]
-        s_star = _safe_div(v * cc[2][None] - cc[1][None], denom)
-        q2s = a_col[2] * s_star + cc[2][None]          # depth d*(j,k,b)
-        us = _safe_div(a_col[0] * s_star + cc[0][None], q2s)
-        ok1 = (q2s > max(1e-3, d0 * 0.5)) & (us > -0.5) & (us < w_img - 0.5)
-        i_star = _clean_idx(us * u_scale, ok1)         # (fH, nz, n_b)
-        onehot1 = (i_star[..., None] == iota_i).astype(compute_dtype)
-        # (fH, nz, n_b, fW) x (fH, fW, M) -> (nz, fH, n_b, M)
-        inter = jnp.einsum('jkbi,jim->kjbm', onehot1, fp_n,
-                           preferred_element_type=jnp.float32)
-        inter = inter.astype(compute_dtype)
-
-        # ---- pass 2: contract image rows ----
-        # Full projection at output cell (g, k, b).
-        qf = (a_col[:, None, None, None] * gc[None, :, None, None]
-              + cc[:, None])                           # (3, n_g, nz, n_b)
-        d_star = qf[2]
-        vs = _safe_div(qf[1], d_star)
-        ok2 = (d_star > max(1e-3, d0 * 0.5)) & (vs > -0.5) & (vs < h_img - 0.5)
-        j_star = _clean_idx(vs * v_scale, ok2)         # (n_g, nz, n_b)
-        onehot2 = (j_star[..., None] == iota_j).astype(compute_dtype)
-        # (nz, fH, n_b, M) x (n_g, nz, n_b, fH) -> (n_g, nz, n_b, M)
-        out_plus = jnp.einsum('kjbm,gkbj->gkbm', inter, onehot2,
-                              preferred_element_type=jnp.float32)
-
-        # ---- depth-bin select (VPU elementwise) ----
-        kd_star = _clean_idx((d_star - d0) / dd, ok2)  # (n_g, nz, n_b)
-        onehot_d = (kd_star[..., None] == iota_d).astype(out_plus.dtype)
-        w = jnp.sum(out_plus[..., c_ch:] * onehot_d, axis=-1)
-        out = out_plus[..., :c_ch] * w[..., None]      # (n_g, nz, n_b, C)
-
-        if solve_axis_x:                               # g=x rows, b=y cols
-            return jnp.transpose(out, (1, 2, 0, 3))    # -> (nz, ny, nx, C)
-        return jnp.transpose(out, (1, 0, 2, 3))        # g=y, b=x
-
-    solve_flags = jnp.asarray(np.asarray(solve_x, dtype=bool))
-
-    def cam_step(acc, xs_n):
-        fp_n, minv_n, mt_n, flag = xs_n
-        out = jax.lax.cond(
-            flag,
-            lambda args: _variant(*args, True),
-            lambda args: _variant(*args, False),
-            (fp_n, minv_n, mt_n))
-        return acc + out, None
-
-    acc0 = jnp.zeros((nz, ny, nx, c_ch), jnp.float32)
-    out, _ = jax.lax.scan(cam_step, acc0, (fp, minv, mt, solve_flags))
-    return out
+    acc = jnp.zeros((nz, ny, nx, c_ch), jnp.float32)
+    # Static per-camera loop: solve_x branches have different shapes.
+    for n, sx in enumerate(solve_x):
+        idx = _sample_indices(minv[n], mt[n], sx, geom)
+        out = _variant_einsum(fp[n], *idx, c_ch, d_bins, compute_dtype)
+        if sx:                                     # b=y cols, g=x rows
+            acc = acc + out.transpose(0, 1, 2, 3)  # (nz, ny, nx, C)
+        else:                                      # b=x, g=y
+            acc = acc + out.transpose(0, 2, 1, 3)
+    return acc

@@ -40,27 +40,54 @@ def init_distributed(coordinator_address: Optional[str] = None,
             'global_devices': jax.device_count()}
 
 
+def _pad_local(local_results: List[Dict[str, np.ndarray]],
+               keys: List[str], max_n: int) -> Dict[str, np.ndarray]:
+    """Stack a host's results per key and zero-pad to ``max_n`` rows."""
+    local = {k: np.stack([np.asarray(r[k]) for r in local_results])
+             for k in keys}
+    n = len(local_results)
+    if n < max_n:
+        local = {k: np.concatenate(
+            [v, np.zeros((max_n - n,) + v.shape[1:], v.dtype)])
+            for k, v in local.items()}
+    return local
+
+
 def collect_results(local_results: List[Dict[str, np.ndarray]],
-                    total_size: Optional[int] = None) -> List[Dict]:
+                    total_size: Optional[int] = None,
+                    _allgather=None,
+                    _process_count: Optional[int] = None) -> List[Dict]:
     """Gather per-host result lists into a rank-ordered global list.
 
     Hosts shard the eval set in contiguous blocks (EvalLoader order);
     rank-ordered concatenation reproduces the reference's tmpdir-pickle
-    collection semantics.  Identity on a single process.
+    collection semantics (``apis/test.py:119-163``).  Ragged-safe: hosts
+    may hold different result counts (the tail shard is shorter) — each
+    host zero-pads to the global max before the allgather and padding
+    is dropped per-rank by the gathered counts.  Identity on a single
+    process.  ``_allgather``/``_process_count`` are injectable for
+    multi-host simulation in tests.
     """
-    if jax.process_count() == 1:
-        return local_results
+    process_count = (_process_count if _process_count is not None
+                     else jax.process_count())
+    if process_count == 1:
+        return list(local_results)
 
-    from jax.experimental import multihost_utils
+    if _allgather is None:
+        from jax.experimental import multihost_utils
 
-    # Stack local arrays per key, allgather, then unstack in rank order.
-    keys = list(local_results[0].keys())
-    local = {k: np.stack([r[k] for r in local_results]) for k in keys}
-    gathered = multihost_utils.process_allgather(local)
+        _allgather = multihost_utils.process_allgather
+
+    counts = np.asarray(
+        _allgather(np.asarray([len(local_results)], np.int64))
+    ).reshape(process_count)
+    max_n = int(counts.max())
+    assert local_results, 'every host must evaluate at least one sample'
+    keys = sorted(local_results[0].keys())
+    gathered = _allgather(_pad_local(local_results, keys, max_n))
     out: List[Dict] = []
-    for rank in range(jax.process_count()):
-        n = gathered[keys[0]].shape[1] if gathered[keys[0]].ndim > 1 else 1
-        for i in range(n):
+    for rank in range(process_count):
+        for i in range(int(counts[rank])):
             out.append({k: gathered[k][rank, i] for k in keys})
     if total_size is not None:
         out = out[:total_size]

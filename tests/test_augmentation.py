@@ -81,3 +81,90 @@ class TestPhotometric:
         assert out.shape == imgs.shape
         # Same jitter across views.
         assert np.allclose(out[0], out[1])
+
+
+class TestCropResizeFlip:
+    def _setup(self):
+        from omnihd_scenes_tpu.data.augmentation import (
+            crop_resize_flip_images, sample_crop_resize_flip)
+        rng = np.random.RandomState(0)
+        H, W = 60, 100
+        imgs = rng.rand(2, H, W, 3).astype(np.float32)
+        # A simple projective camera: lidar2img mapping (x, y, z) ->
+        # pixel (u*d, v*d, d) with f=50, center (50, 30), depth = x.
+        l2i = np.array([[0, -50, 0, 50 * 1.0],
+                        [0, 0, -50, 30 * 1.0],
+                        [1, 0, 0, 0],
+                        [0, 0, 0, 1.0]], np.float32)
+        l2i[0] += 50 * l2i[2]          # u = f*(-y)/x + cx
+        l2i[1] += 30 * l2i[2]
+        return (crop_resize_flip_images, sample_crop_resize_flip, rng,
+                imgs, np.stack([l2i, l2i]))
+
+    @staticmethod
+    def _project(l2i, p):
+        q = l2i @ np.array([*p, 1.0])
+        return q[:2] / q[2]
+
+    def test_projection_consistency(self):
+        crf, sample, rng, imgs, l2i = self._setup()
+        conf = {'resize': [40, 48], 'crop': (10, 5, 90, 55),
+                'rand_flip': True}
+        for seed in range(4):
+            r = np.random.RandomState(seed)
+            resize, dims, crop, flip = sample(r, conf)
+            out_imgs, out_l2i = crf(imgs, l2i, resize, dims, crop, flip)
+            assert out_imgs.shape[1:3] == (dims[1], dims[0])
+            p = np.array([8.0, 0.3, -0.2])     # in front of the camera
+            u0, v0 = self._project(l2i[0], p)
+            u1, v1 = self._project(out_l2i[0], p)
+            # Expected pixel motion: crop/resize then optional flip.
+            ue = (u0 - crop[0]) * resize
+            ve = (v0 - crop[1]) * resize
+            if flip:
+                ue = (dims[0] - 1) - ue
+            np.testing.assert_allclose([u1, v1], [ue, ve], atol=1e-4)
+
+    def test_flip_moves_content(self):
+        crf, _, _, imgs, l2i = self._setup()
+        out_f, _ = crf(imgs, l2i, 1.0, (80, 50), (10, 5, 90, 55), True)
+        out_n, _ = crf(imgs, l2i, 1.0, (80, 50), (10, 5, 90, 55), False)
+        np.testing.assert_allclose(out_f, out_n[:, :, ::-1], atol=1e-5)
+
+
+class TestGlobalRotScaleTransImage:
+    def test_projection_of_transformed_box_center_is_invariant(self):
+        from omnihd_scenes_tpu.data.augmentation import (
+            global_rot_scale_trans_image)
+        rng = np.random.RandomState(3)
+        l2i = np.array([[50, -30, 0, 20],
+                        [5, 0, -50, 30],
+                        [1, 0.1, 0, 0],
+                        [0, 0, 0, 1.0]], np.float64)
+        boxes = np.array([[8.0, 1.0, -0.5, 2, 4, 1.5, 0.3, 1.0, -0.5],
+                          [12.0, -3.0, 0.0, 1, 1, 2.0, -0.7, 0.0, 2.0]],
+                         np.float64)
+        for seed in range(5):
+            r = np.random.RandomState(seed)
+            nb, nl2i, _, params = global_rot_scale_trans_image(
+                boxes, np.stack([l2i]), r)
+            for g in range(len(boxes)):
+                q0 = l2i @ np.array([*boxes[g, :3], 1.0])
+                q1 = nl2i[0] @ np.array([*nb[g, :3], 1.0])
+                np.testing.assert_allclose(q1, q0, atol=1e-8)
+
+    def test_flip_dx_yaw_and_velocity(self):
+        from omnihd_scenes_tpu.data.augmentation import (
+            global_rot_scale_trans_image)
+        boxes = np.array([[5.0, 2.0, 0.0, 2, 4, 1.5, 0.2, 1.0, 0.5]],
+                         np.float64)
+        r = np.random.RandomState(0)
+        nb, _, _, p = global_rot_scale_trans_image(
+            boxes, np.eye(4)[None], r, rot_range=(0, 0),
+            scale_ratio_range=(1, 1), flip_dx_ratio=1.0,
+            flip_dy_ratio=0.0)
+        assert p['flip_dx'] and not p['flip_dy']
+        np.testing.assert_allclose(nb[0, 0], -5.0)
+        np.testing.assert_allclose(nb[0, 6], -0.2 + np.pi)
+        np.testing.assert_allclose(nb[0, 7], -1.0)
+        np.testing.assert_allclose(nb[0, 8], 0.5)

@@ -52,7 +52,7 @@ class TestDistributedHelpers:
         info = init_distributed()
         assert info['process_count'] == 1
         results = [{'a': np.ones(2)}, {'a': np.zeros(2)}]
-        assert collect_results(results) is results
+        assert collect_results(results) == results
         barrier()  # no-op
 
 
