@@ -100,21 +100,76 @@ class CamEncode(nn.Module):
         return feat, depth
 
 
-class DepthNet(nn.Module):
-    """BEVDepth-style depth head: a small residual trunk for the depth
-    logits plus a context branch (reference DepthNet, simplified to the
-    conv schedule that matters: BN-mlp trunk -> depth, 1x1 -> context)."""
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (reference ``ASPP``,
+    ``cam_stream_lss_bevpoolv2_depthnet.py:490-557``): 1x1 + three
+    dilated 3x3 branches (dilations 6/12/18) + global-average branch,
+    concatenated and reduced 1x1."""
 
-    depth_bins: int
-    cam_channels: int
     mid_channels: int = 256
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        def branch(k, dilation):
+            pad = 0 if k == 1 else dilation
+            y = nn.Conv(self.mid_channels, (k, k),
+                        kernel_dilation=(dilation, dilation),
+                        padding=[(pad, pad)] * 2, use_bias=False)(x)
+            y = nn.BatchNorm(use_running_average=not train)(y)
+            return nn.relu(y)
+
+        b1 = branch(1, 1)
+        b2 = branch(3, 6)
+        b3 = branch(3, 12)
+        b4 = branch(3, 18)
+        g = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        g = nn.Conv(self.mid_channels, (1, 1), use_bias=False)(g)
+        g = nn.BatchNorm(use_running_average=not train)(g)
+        g = nn.relu(g)
+        g = jnp.broadcast_to(g, b4.shape[:-1] + (self.mid_channels,))
+        y = jnp.concatenate([b1, b2, b3, b4, g], axis=-1)
+        y = nn.Conv(self.mid_channels, (1, 1), use_bias=False)(y)
+        y = nn.BatchNorm(use_running_average=not train)(y)
+        return nn.relu(y)
+
+
+class DepthNet(nn.Module):
+    """BEVDepth-style depth head (reference ``DepthNet``,
+    ``cam_stream_lss_bevpoolv2_depthnet.py:563-608``): reduce conv ->
+    context 1x1 branch, and a depth branch of three BasicBlock
+    residual units + ASPP + deformable conv + 1x1 logits.  (The
+    reference's DCNv1 groups=4 becomes a single-group DCNv2; its ASPP
+    dropout is omitted — no rng plumbing in the eval-heavy paths.)"""
+
+    depth_bins: int
+    cam_channels: int
+    mid_channels: Optional[int] = None  # reference: = in_channels
+    use_aspp: bool = True
+    # DCN sampling is gather-bound on this TPU backend; off by default
+    # (capacity deviation from the reference noted in PARITY.md).
+    use_dcn: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from omnihd_scenes_tpu.models.dcn import DeformConv
+        from omnihd_scenes_tpu.models.resnet import BasicBlock
+
+        mid = self.mid_channels or x.shape[-1]
+        x = ConvBNReLU(mid, (3, 3))(x, train)
         ctx = nn.Conv(self.cam_channels, (1, 1))(x)
-        d = ConvBNReLU(self.mid_channels, (3, 3))(x, train)
-        d = ConvBNReLU(self.mid_channels, (3, 3))(d, train)
+
+        # Blocks run per-view on (B*N, h, w, C) maps.
+        lead = x.shape[:-3]
+        d = x.reshape((-1,) + x.shape[-3:])
+        for _ in range(3):
+            d = BasicBlock(mid, use_running_average=not train)(d)
+        if self.use_aspp:
+            d = ASPP(mid)(d, train)
+        if self.use_dcn:
+            d = DeformConv(mid, 3)(d)
         depth_logits = nn.Conv(self.depth_bins, (1, 1))(d)
+        depth_logits = depth_logits.reshape(
+            lead + depth_logits.shape[-3:])
         depth = jax.nn.softmax(depth_logits, axis=-1)
         return ctx, depth, depth_logits
 
