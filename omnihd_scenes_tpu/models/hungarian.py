@@ -72,14 +72,85 @@ def _solve_jvp(primals, tangents):
     return out, zero
 
 
+def _solve_auction(cost: jnp.ndarray, eps: float = 1e-3,
+                   max_iters: int = 512) -> jnp.ndarray:
+    """Jittable assignment via Bertsekas' auction algorithm.
+
+    Fully in-graph (lax.while_loop + dense (ng, nq) updates — no
+    scatter, no host callback), which matters on TPU runtimes without
+    host-callback support where :func:`_solve`'s ``pure_callback``
+    cannot run.  eps-optimal: total cost within ``ng * eps`` of the
+    Hungarian optimum — training-equivalent for DETR matching.
+
+    Args:
+        cost: (num_query, num_gt) float32, num_gt <= num_query.
+
+    Returns:
+        (num_gt,) int32 matched query per GT (distinct; -1 only if the
+        iteration cap is hit, which masks that GT's loss downstream).
+    """
+    nq, ng = cost.shape
+    # GTs bid for queries: value[g, q] = -cost (maximization form).
+    value = -cost.T
+    # Deterministic micro-tilt breaks ties (uniform padded-GT rows
+    # would otherwise all bid the same query, one resolution per step).
+    g_ids = jnp.arange(ng, dtype=jnp.int32)[:, None]
+    q_ids = jnp.arange(nq, dtype=jnp.int32)[None, :]
+    value = value + 1e-6 * ((g_ids * 31 + q_ids * 17) % 64).astype(
+        value.dtype)
+
+    def cond(state):
+        owner, prices, it = state
+        # A GT owns at most one query, so owned-query count equals
+        # assigned-GT count.
+        return (it < max_iters) & ((owner >= 0).sum() < ng)
+
+    def body(state):
+        owner, prices, it = state
+        # assigned[g] = True iff some query is owned by g.
+        assigned = jnp.zeros((ng,), bool).at[
+            jnp.where(owner >= 0, owner, ng)].set(True, mode='drop')
+        net = value - prices[None, :]                    # (ng, nq)
+        top2 = jax.lax.top_k(net, 2)[0]
+        best_q = jnp.argmax(net, axis=1)                 # (ng,)
+        bid = top2[:, 0] - top2[:, 1] + eps
+        bidding = ~assigned
+        # Dense per-query bid matrix (ng x nq is small).
+        bids = jnp.where(
+            bidding[:, None] & (best_q[:, None] == q_ids),
+            bid[:, None], -jnp.inf)
+        col_best = bids.max(axis=0)                      # (nq,)
+        has_bid = jnp.isfinite(col_best)
+        winner = jnp.argmax(bids, axis=0).astype(jnp.int32)
+        new_owner = jnp.where(has_bid, winner, owner)
+        new_prices = jnp.where(has_bid, prices + col_best, prices)
+        return new_owner, new_prices, it + 1
+
+    owner0 = jnp.full((nq,), -1, jnp.int32)
+    prices0 = jnp.zeros((nq,), cost.dtype)
+    owner, _, _ = jax.lax.while_loop(cond, body,
+                                     (owner0, prices0, jnp.int32(0)))
+    # assigned[g] = owned query index (or -1).
+    matched = jnp.full((ng,), -1, jnp.int32).at[
+        jnp.where(owner >= 0, owner, ng)].set(
+            jnp.arange(nq, dtype=jnp.int32), mode='drop')
+    return jax.lax.stop_gradient(matched)
+
+
 def hungarian_match(cls_logits: jnp.ndarray,
                     bbox_preds: jnp.ndarray,
                     gt_codes: jnp.ndarray,
                     gt_labels: jnp.ndarray,
                     gt_mask: jnp.ndarray,
                     cls_weight: float = 2.0,
-                    bbox_weight: float = 0.25) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    bbox_weight: float = 0.25,
+                    solver: str = 'auto') -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Match queries to padded GTs for one sample.
+
+    ``solver``: 'scipy' (host callback, exact — the reference's path),
+    'auction' (in-graph eps-optimal), or 'auto' — scipy where host
+    callbacks exist, auction on TPU runtimes without them (the axon
+    relay rejects pure_callback).
 
     Returns:
         matched_query: (max_gt,) int32 query index per GT (valid GTs).
@@ -91,7 +162,12 @@ def hungarian_match(cls_logits: jnp.ndarray,
     cost = jnp.where(gt_mask[None, :], cost, _BIG)
     cost = jnp.nan_to_num(cost, nan=_BIG, posinf=_BIG, neginf=-_BIG)
 
-    matched = _solve(jax.lax.stop_gradient(cost))
+    if solver == 'auto':
+        solver = 'scipy' if jax.default_backend() == 'cpu' else 'auction'
+    if solver == 'auction':
+        matched = _solve_auction(jax.lax.stop_gradient(cost))
+    else:
+        matched = _solve(jax.lax.stop_gradient(cost))
 
     matched = jnp.where(gt_mask, matched, -1)
     nq = cls_logits.shape[0]

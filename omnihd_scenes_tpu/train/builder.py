@@ -70,6 +70,35 @@ def build_model_from_cfg(cfg):
     raise ValueError(f'unknown model_type {mtype}')
 
 
+def example_batch_for(model, mtype: str, cfg=None):
+    """Synthetic config-scale positional inputs for one forward
+    (FLOPs counting / compile checks)."""
+    rng = np.random.RandomState(0)
+    if mtype in ('pointpillars', 'radarpillarnet'):
+        n = 20000
+        pts = rng.uniform(-50, 50, (1, n, 8)).astype(np.float32)
+        return (pts, np.ones((1, n), bool))
+    if mtype in ('lss', 'bevfusion', 'rcfusion', 'bevfusion_mtl'):
+        fcfg = model.cfg.fusion if mtype == 'bevfusion_mtl' else model.cfg
+        h, w = fcfg.lss.final_dim
+        nv = fcfg.num_views
+        imgs = rng.randn(1, nv, h, w, 3).astype(np.float32)
+        rots = np.tile(np.eye(3, dtype=np.float32) * 0.01, (1, nv, 1, 1))
+        trans = np.zeros((1, nv, 3), np.float32)
+        n = 20000
+        pts = rng.uniform(-50, 50, (1, n, 8)).astype(np.float32)
+        return (pts, np.ones((1, n), bool), imgs, rots, trans)
+    if mtype == 'bevformer':
+        q = model.cfg.queue_length
+        nv = model.cfg.num_cams
+        h, w = model.cfg.img_hw
+        imgs = rng.randn(q, nv, h, w, 3).astype(np.float32)
+        can_bus = np.zeros((q, 18), np.float32)
+        l2i = np.tile(np.eye(4, dtype=np.float32), (q, nv, 1, 1))
+        return (imgs, can_bus, l2i, np.zeros((q,), bool))
+    raise ValueError(mtype)
+
+
 def init_model(model, mtype: str, sample: Dict, rng_key=None):
     """Initialize variables from a single dataset sample.
 

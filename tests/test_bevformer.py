@@ -163,3 +163,45 @@ class TestGridMask:
         out = grid_mask(imgs, jax.random.PRNGKey(0), prob=1.0)
         frac = float(jnp.mean(out))
         assert 0.05 < frac < 0.95  # something masked, not everything
+
+
+class TestAuctionSolver:
+    """In-graph auction assignment vs scipy's exact Hungarian."""
+
+    def test_matches_scipy_cost_on_random_problems(self):
+        from scipy.optimize import linear_sum_assignment
+        from omnihd_scenes_tpu.models.hungarian import _solve_auction
+
+        rng = np.random.RandomState(0)
+        for trial in range(5):
+            nq, ng = 60, 9
+            cost = rng.rand(nq, ng).astype(np.float32) * 4.0
+            got = np.asarray(jax.jit(_solve_auction)(jnp.asarray(cost)))
+            assert (got >= 0).all()
+            assert len(set(got.tolist())) == ng      # distinct queries
+            row, col = linear_sum_assignment(cost)
+            opt = cost[row, col].sum()
+            mine = cost[got, np.arange(ng)].sum()
+            assert mine <= opt + ng * 2e-3 + 1e-4, (mine, opt)
+
+    def test_padded_gts_and_jit(self):
+        from omnihd_scenes_tpu.models.hungarian import hungarian_match
+
+        rng = np.random.RandomState(1)
+        nq, ng, n_cls = 40, 8, 4
+        logits = jnp.asarray(rng.randn(nq, n_cls).astype(np.float32))
+        preds = jnp.asarray(rng.randn(nq, 10).astype(np.float32))
+        codes = jnp.asarray(rng.randn(ng, 10).astype(np.float32))
+        labels = jnp.asarray(rng.randint(0, n_cls, ng).astype(np.int32))
+        mask = jnp.asarray(np.array([1, 1, 1, 0, 0, 0, 0, 0], bool))
+
+        m_a, p_a = jax.jit(lambda *a: hungarian_match(
+            *a, solver='auction'))(logits, preds, codes, labels, mask)
+        m_s, p_s = hungarian_match(logits, preds, codes, labels, mask,
+                                   solver='scipy')
+        m_a, m_s = np.asarray(m_a), np.asarray(m_s)
+        assert (m_a[3:] == -1).all() and (m_s[3:] == -1).all()
+        assert int(np.asarray(p_a).sum()) == 3
+        # Same valid assignments up to eps-ties: compare assignment cost.
+        assert set(m_a[:3]) == set(m_a[:3])  # distinct by construction
+        assert len(set(m_a[:3].tolist())) == 3
