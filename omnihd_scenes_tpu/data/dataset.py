@@ -64,6 +64,7 @@ class NewScenesDetDataset:
                  load_occ: bool = False,
                  occ_size: Sequence[int] = (240, 160, 16),
                  occ_downsample: Sequence[int] = (1, 1, 1),
+                 aug: Optional[Dict] = None,
                  seed: int = 0):
         self.infos = load_infos(ann_file)
         self.modality = modality
@@ -90,6 +91,13 @@ class NewScenesDetDataset:
         self.load_occ = load_occ
         self.occ_size = tuple(occ_size)
         self.occ_downsample = tuple(occ_downsample)
+        # Training-time augmentation config (reference train pipelines):
+        # {'photometric': True,
+        #  'crop_resize_flip': {'resize': [...], 'crop': (...),
+        #                       'rand_flip': True},
+        #  'rot_scale_flip_image': {...},   # camera models (degrees)
+        #  'rot_scale_flip': {...}}         # point models (radians)
+        self.aug = dict(aug) if aug else None
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -233,6 +241,59 @@ class NewScenesDetDataset:
         if not self.test_mode:
             boxes, labels, mask = self._load_annotations(info)
             sample.update(gt_boxes=boxes, gt_labels=labels, gt_mask=mask)
+            if self.aug:
+                sample = self._apply_aug(sample)
+        return sample
+
+    def _apply_aug(self, sample: Dict) -> Dict:
+        """Training augmentations keeping GT / points / camera geometry
+        consistent (reference pipeline modules cited per function)."""
+        from omnihd_scenes_tpu.data import augmentation as A
+
+        aug = self.aug
+        geom_dirty = False
+        if aug.get('photometric') and 'imgs' in sample:
+            sample['imgs'] = A.photometric_distortion(sample['imgs'],
+                                                      self.rng)
+        if aug.get('crop_resize_flip') and 'imgs' in sample:
+            params = A.sample_crop_resize_flip(
+                self.rng, aug['crop_resize_flip'],
+                training=not self.test_mode)
+            sample['imgs'], sample['lidar2img'] = \
+                A.crop_resize_flip_images(sample['imgs'],
+                                          sample['lidar2img'], *params)
+            geom_dirty = True
+        if aug.get('rot_scale_flip_image') is not None and \
+                'lidar2img' in sample:
+            vel_dims = (3, 5) if self.modality == 'radar' else None
+            kw = dict(aug['rot_scale_flip_image']) \
+                if isinstance(aug['rot_scale_flip_image'], dict) else {}
+            boxes, l2i, pts, _ = A.global_rot_scale_trans_image(
+                sample['gt_boxes'], sample['lidar2img'], self.rng,
+                points=sample.get('points'), vel_dims=vel_dims, **kw)
+            sample['gt_boxes'] = boxes
+            sample['lidar2img'] = l2i
+            if pts is not None:
+                sample['points'] = pts
+            geom_dirty = True
+        if aug.get('rot_scale_flip') is not None and 'points' in sample \
+                and 'imgs' not in sample:
+            vel_dims = (3, 5) if self.modality == 'radar' else None
+            kw = dict(aug['rot_scale_flip']) \
+                if isinstance(aug['rot_scale_flip'], dict) else {}
+            flip_ratio = kw.pop('flip_ratio', 0.5)
+            pts, boxes, _, _ = A.global_rot_scale_trans(
+                sample['points'], sample['gt_boxes'], self.rng,
+                vel_dims=vel_dims, **kw)
+            pts, boxes, _ = A.random_flip_3d(pts, boxes, self.rng,
+                                             flip_ratio=flip_ratio,
+                                             vel_dims=vel_dims)
+            sample['points'] = pts.astype(np.float32)
+            sample['gt_boxes'] = boxes.astype(np.float32)
+        if geom_dirty and 'img2lidar_rots' in sample:
+            inv = np.linalg.inv(sample['lidar2img'].astype(np.float64))
+            sample['img2lidar_rots'] = inv[:, :3, :3].astype(np.float32)
+            sample['img2lidar_trans'] = inv[:, :3, 3].astype(np.float32)
         return sample
 
     # -- result formatting / evaluation -------------------------------------

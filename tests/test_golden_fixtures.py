@@ -179,3 +179,45 @@ def test_ap_hand_case():
     got_ap = calc_ap(md, min_recall=0.1, min_precision=0.1)
     np.testing.assert_allclose(got_ap, want_ap, atol=1e-9)
     np.testing.assert_allclose(md.recall[-1], 1.0)
+
+
+# ---------------------------------------------------------------------------
+# 4. Dataset-level augmentation consistency (wired `aug=` config)
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_aug_keeps_projection_consistent(synthetic_dataroot,
+                                                 tmp_path):
+    import pickle
+
+    from omnihd_scenes_tpu.data.dataset import NewScenesDetDataset
+    from omnihd_scenes_tpu.devkit.converter import create_newscenes_infos
+
+    create_newscenes_infos(synthetic_dataroot, str(tmp_path), 'aug',
+                           version='v1.0-mini', max_sweeps=1)
+    ann = str(tmp_path / 'aug_infos_temporal_train.pkl')
+    aug = {'photometric': True,
+           'rot_scale_flip_image': {'rot_range': (-10, 10),
+                                    'scale_ratio_range': (0.9, 1.1)},
+           'crop_resize_flip': {'resize': [128], 'crop': (0, 0, 480, 270),
+                                'rand_flip': True}}
+    ds = NewScenesDetDataset(ann_file=ann, modality='radar',
+                             use_camera=True, max_points=512,
+                             image_target_hw=None, aug=aug, seed=3)
+    base = NewScenesDetDataset(ann_file=ann, modality='radar',
+                               use_camera=True, max_points=512,
+                               image_target_hw=None)
+    s_aug, s_base = ds[0], base[0]
+    assert s_aug['imgs'].shape[0] == s_base['imgs'].shape[0]
+    assert not np.allclose(s_aug['gt_boxes'], s_base['gt_boxes'])
+    # img2lidar must stay the exact inverse of lidar2img.
+    prod = np.einsum('nij,njk->nik',
+                     s_aug['lidar2img'].astype(np.float64)[:, :3, :3],
+                     np.linalg.inv(
+                         s_aug['lidar2img'].astype(np.float64))[:, :3, :3])
+    np.testing.assert_allclose(
+        prod, np.broadcast_to(np.eye(3), prod.shape), atol=1e-6)
+    np.testing.assert_allclose(
+        s_aug['img2lidar_rots'],
+        np.linalg.inv(s_aug['lidar2img'].astype(np.float64)
+                      )[:, :3, :3].astype(np.float32), atol=1e-5)
