@@ -34,19 +34,34 @@ _IOU_TILE = 128
 
 
 def _iou_over_thr_matrix(boxes: jnp.ndarray, thr: float) -> jnp.ndarray:
-    """(N, N) bool matrix iou > thr, computed in row tiles."""
+    """(N, N) bool matrix iou > thr.
+
+    IoU is symmetric, so only the upper-triangular tile blocks are
+    evaluated (~45% less polygon-clipping work at N=1000) and the
+    result is mirrored.
+    """
     n = boxes.shape[0]
     pad = (-n) % _IOU_TILE
     padded = jnp.concatenate(
         [boxes, jnp.zeros((pad, boxes.shape[-1]), boxes.dtype)]) \
         if pad else boxes
-    tiles = padded.reshape(-1, _IOU_TILE, boxes.shape[-1])
+    n_tiles = padded.shape[0] // _IOU_TILE
+    tiles = padded.reshape(n_tiles, _IOU_TILE, boxes.shape[-1])
 
-    def tile_rows(rows):
-        return rotated_iou_bev(rows, boxes) > thr
+    ti, tj = jnp.asarray([(i, j) for i in range(n_tiles)
+                          for j in range(i, n_tiles)]).T  # static lists
 
-    s = jax.lax.map(tile_rows, tiles).reshape(-1, n)
-    return s[:n]
+    def block(pair):
+        i, j = pair
+        return rotated_iou_bev(tiles[i], tiles[j]) > thr
+
+    blocks = jax.lax.map(block, (ti, tj))       # (B, T, T) bool
+    full = jnp.zeros((n_tiles, n_tiles, _IOU_TILE, _IOU_TILE), bool)
+    full = full.at[ti, tj].set(blocks)
+    s = full.transpose(0, 2, 1, 3).reshape(padded.shape[0],
+                                           padded.shape[0])
+    s = s | s.T
+    return s[:n, :n]
 
 
 _MAX_FIXPOINT_ITERS = 48
