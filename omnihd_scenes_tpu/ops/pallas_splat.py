@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TB = 16        # b-values per kernel-B step (bf16 sublane tile)
+_TB = 16        # b-values per kernel-B step
 
 
 def _round_up(x: int, m: int) -> int:

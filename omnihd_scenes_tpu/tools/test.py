@@ -77,9 +77,20 @@ def main():
 
     anchors_np = anchors_for(model, mtype)
     if mtype == 'bevformer':
-        predict_stream = make_predict_fn_generic(model, mtype)
-        bbox_results = run_streaming_inference(predict_stream, state,
-                                               dataset, bev_shape)
+        stream_batch = int(cfg.data.get('samples_per_device', 1) or 1)
+        if stream_batch > 1:
+            from omnihd_scenes_tpu.train.builder import (
+                make_predict_stream_batched)
+            from omnihd_scenes_tpu.train.eval_runner import (
+                run_streaming_inference_batched)
+
+            predict_b = make_predict_stream_batched(model)
+            bbox_results = run_streaming_inference_batched(
+                predict_b, state, dataset, bev_shape, stream_batch)
+        else:
+            predict_stream = make_predict_fn_generic(model, mtype)
+            bbox_results = run_streaming_inference(predict_stream, state,
+                                                   dataset, bev_shape)
         outputs = {'bbox_results': bbox_results, 'occ_results': None}
     else:
         predict_fn = make_predict_fn_generic(model, mtype, anchors_np)

@@ -110,3 +110,55 @@ def evaluate_results(dataset, outputs: Dict, dataroot: str, version: str,
                 or [f'cls_{i}' for i in range(1, n_cls)])
             metrics.update({f'occ_{k}': v for k, v in occ_summary.items()})
     return metrics
+
+
+def run_streaming_inference_batched(predict_stream_batched, state, dataset,
+                                    bev_shape, batch_size: int) -> List[Dict]:
+    """Scene-parallel streaming eval: ``batch_size`` independent
+    temporal streams, each walking a contiguous block of the dataset
+    (the reference's rank-contiguous DistributedSampler layout,
+    ``samplers/distributed_sampler.py:35-37``, turned into batch
+    slots).  One device dispatch serves all streams per step instead
+    of one per sample."""
+    from omnihd_scenes_tpu.data.temporal_dataset import StreamingEvalState
+
+    n = len(dataset)
+    batch_size = max(1, min(batch_size, n))
+    per_slot = -(-n // batch_size)
+    streams = [StreamingEvalState(bev_shape) for _ in range(batch_size)]
+    results: List = [None] * n
+
+    for step in range(per_slot):
+        idxs, valid = [], []
+        imgs, cbs, l2is, prevs, hps = [], [], [], [], []
+        for s in range(batch_size):
+            idx = s * per_slot + step
+            ok = idx < n
+            use = idx if ok else n - 1
+            sample = dataset[use]
+            if ok:
+                cb, hp = streams[s].prepare(
+                    sample['can_bus'], dataset.infos[use]['scene_token'])
+            else:
+                cb, hp = sample['can_bus'] * 0.0, False
+            idxs.append(use)
+            valid.append(ok)
+            imgs.append(sample['imgs'])
+            cbs.append(cb)
+            l2is.append(sample['lidar2img'])
+            prevs.append(streams[s].prev_bev)
+            hps.append(hp)
+        (boxes, scores, labels, det_valid), bev = predict_stream_batched(
+            state.params, state.batch_stats, np.stack(imgs),
+            np.stack(cbs), np.stack(l2is), np.stack(prevs),
+            np.asarray(hps))
+        boxes, scores, labels, det_valid, bev = (
+            np.asarray(boxes), np.asarray(scores), np.asarray(labels),
+            np.asarray(det_valid), np.asarray(bev))
+        for s in range(batch_size):
+            if valid[s]:
+                streams[s].update(bev[s])
+                results[idxs[s]] = {
+                    'boxes': boxes[s], 'scores': scores[s],
+                    'labels': labels[s], 'valid': det_valid[s]}
+    return results

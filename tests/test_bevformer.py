@@ -205,3 +205,55 @@ class TestAuctionSolver:
         # Same valid assignments up to eps-ties: compare assignment cost.
         assert set(m_a[:3]) == set(m_a[:3])  # distinct by construction
         assert len(set(m_a[:3].tolist())) == 3
+
+
+class TestBatchedStreamingEval:
+    """Scene-parallel streaming must reproduce single-stream results."""
+
+    def test_matches_single_stream(self, model_and_vars):
+        from omnihd_scenes_tpu.train.builder import (
+            make_predict_fn_generic, make_predict_stream_batched)
+        from omnihd_scenes_tpu.train.eval_runner import (
+            run_streaming_inference, run_streaming_inference_batched)
+
+        model, variables, imgs, can_bus, l2i, has_prev = model_and_vars
+        rng = np.random.RandomState(5)
+
+        class FakeDataset:
+            """Two scenes x three frames (indices 0-2 / 3-5)."""
+
+            def __init__(self):
+                self.infos = [{'scene_token': f's{i // 3}'}
+                              for i in range(6)]
+
+            def __len__(self):
+                return len(self.infos)
+
+            def __getitem__(self, idx):
+                r = np.random.RandomState(100 + idx)
+                cb = np.zeros(18, np.float32)
+                cb[:3] = r.randn(3) * 0.2
+                cb[-1] = r.randn() * 0.05
+                return {'imgs': r.randn(2, 32, 48, 3).astype(np.float32),
+                        'can_bus': cb,
+                        'lidar2img': _lidar2img(2)}
+
+        class State:
+            params = variables['params']
+            batch_stats = variables.get('batch_stats', {})
+
+        ds = FakeDataset()
+        bev_shape = (TINY.bev_h * TINY.bev_w, TINY.embed_dims)
+        single = run_streaming_inference(
+            make_predict_fn_generic(model, 'bevformer'), State, ds,
+            bev_shape)
+        batched = run_streaming_inference_batched(
+            make_predict_stream_batched(model), State, ds, bev_shape,
+            batch_size=2)
+        assert len(single) == len(batched) == 6
+        for a, b in zip(single, batched):
+            np.testing.assert_allclose(a['boxes'], b['boxes'],
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(a['scores'], b['scores'],
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_array_equal(a['labels'], b['labels'])
