@@ -9,6 +9,10 @@ through a task queue, and yields prepared samples *in submission
 order* with a bounded in-flight window (bounded memory, unlike
 ``Pool.imap`` whose result buffer can grow without limit when the
 consumer stalls).
+
+NOTE: spawn re-imports ``__main__`` in each worker — caller scripts
+must guard their entry point with ``if __name__ == '__main__':`` (the
+shipped CLIs do).
 """
 
 from __future__ import annotations

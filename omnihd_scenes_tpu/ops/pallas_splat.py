@@ -197,9 +197,12 @@ def sample_bev_pallas(depth, feat, minv, mt, geom, solve_x: Sequence[bool],
             kd_star = jnp.stack([
                 jnp.pad(k, ((0, 0), (0, pad_b), (0, 0)),
                         constant_values=-1) for _, _, k in idx])
-            out = _group_forward(fp_feat[jnp.array(cams)],
-                                 fp_depth[jnp.array(cams)],
-                                 i_star, j_star, kd_star)
+            # Static per-camera slices (constant fancy indexing lowers
+            # to a real gather on this backend — pathologically slow).
+            out = _group_forward(
+                jnp.stack([fp_feat[c] for c in cams]),
+                jnp.stack([fp_depth[c] for c in cams]),
+                i_star, j_star, kd_star)
             out = out[:, :n_b, :, :c_ch]          # (nz, n_b, n_g, C)
             acc = acc + (out if sx else out.transpose(0, 2, 1, 3))
         return acc
