@@ -210,6 +210,7 @@ class TestAuctionSolver:
 class TestBatchedStreamingEval:
     """Scene-parallel streaming must reproduce single-stream results."""
 
+    @pytest.mark.slow
     def test_matches_single_stream(self, model_and_vars):
         from omnihd_scenes_tpu.train.builder import (
             make_predict_fn_generic, make_predict_stream_batched)

@@ -12,6 +12,8 @@ import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
 
+pytestmark = pytest.mark.slow      # interpret-mode kernels, ~60 s
+
 from omnihd_scenes_tpu.ops.lss_project import lss_sample_bev
 
 from tests.test_lss_project import (BEV_START, BEV_VOXEL, D0, DD, FH, FW,
