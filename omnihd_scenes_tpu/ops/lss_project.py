@@ -211,11 +211,11 @@ def lss_sample_bev(depth: jnp.ndarray,
         # CPU backend lacks the BF16xBF16=F32 dot — keep f32 off-TPU.
         compute_dtype = jnp.float32 if backend == 'cpu' else jnp.bfloat16
     if impl == 'auto':
-        # Measured at production scale (BENCH.md): einsum 13.7 ms,
-        # pallas 15.0 ms — kernel B's fH-strided intermediate reads eat
-        # the fused kernels' one-hot-traffic win, so einsum stays the
-        # default until the intermediate layout is reworked.
-        impl = 'einsum'
+        # Measured at production scale (BENCH.md round 2): einsum
+        # 12.8 ms, fused pallas kernels 10.2 ms after the layout rework
+        # (intermediate written directly in kernel B's (cam,z,j,b,M)
+        # layout; feat+depth packed into one lane dim).
+        impl = 'einsum' if backend == 'cpu' else 'pallas'
 
     n_cams, f_h, f_w, d_bins = depth.shape
     c_ch = feat.shape[-1]

@@ -2,23 +2,34 @@
 
 Companion to :mod:`omnihd_scenes_tpu.ops.lss_project` (see its module
 docstring for the math).  The einsum implementation materializes the
-pass-1/pass-2 one-hot tensors in HBM (~170 MB per camera at production
-scale) and lets XLA lower the contractions, which measures ~29 ms per
-sample; these kernels build the one-hot operands *in VMEM* from iota
-comparisons right next to the MXU dots, so HBM only ever sees the
-camera features, the int32 index fields, and the (much smaller)
-intermediate.
+pass-1/pass-2 one-hot tensors in HBM (~0.8 GB per camera at production
+scale) and lets XLA lower the contractions (~13 ms/sample); these
+kernels build the one-hot operands *in VMEM* from iota comparisons
+right next to the MXU dots, so HBM only ever sees the camera features,
+the int32 index fields, and the bf16 intermediate.
 
-Kernel A (pass 1, grid (cam, image-row j, z-slice k)):
-    inter[n, j, k, b, :] = fp[n, j, i_star[n, j, k, b], :]
-  as ``onehot(i_star) @ fp_row`` — one (n_b x fW) @ (fW x C) dot per
-  step, feat and depth channel blocks kept separate so no kernel ever
-  slices the lane dimension (Mosaic requires 128-aligned lane slices).
+Layout is the whole game here (the round-2 kernels lost to the einsum
+because kernel B's input blocks shattered into fH 4 KB strided DMA
+descriptors):
 
-Kernel B (pass 2 + depth select, grid (k, b-chunk, cam)):
-    out[k, b, g, :] += feat_taps[j_star] * depth_taps[j_star][kd_star]
-  with the camera dimension innermost so the output block is revisited
-  consecutively and accumulated in VMEM (zero-initialized at cam 0).
+* feat and depth are packed into ONE lane dimension ``M = CF + CD``
+  (each 64-aligned) so every dot carries both and no kernel slices
+  lanes below 128; the depth bin is selected by a lane-iota mask.
+* the intermediate is written directly in kernel B's preferred layout
+  ``(cam, z, j, b, M)``: kernel A runs on grid (cam, j-chunk, z) with
+  z innermost — the camera-feature block's index map ignores z, so it
+  stays resident in VMEM across all z steps — and each grid step
+  writes one contiguous (JC, NBP, M) slab.
+* kernel B (grid (z, b-chunk, cam), cam innermost) reads
+  (fH, TB, M) slabs — per image row one contiguous TB*M*2 ≈ 20 KB run
+  — and accumulates the output block in VMEM across cameras
+  (zero-initialized at cam 0).
+
+Kernel A (pass 1):   inter[n, k, j, b, :] = fp[n, j, i_star, :]
+  as one (NBP x fW) @ (fW x M) one-hot dot per image row.
+Kernel B (pass 2 + depth select):
+  out[k, b, g, :] += taps * taps[CF + kd_star]
+  where taps = onehot(j_star) @ inter[n, k, :, b, :].
 
 The backward pass reuses the einsum implementation's VJP via
 ``jax.custom_vjp`` — both implementations compute the same function
@@ -28,128 +39,126 @@ The backward pass reuses the einsum implementation's VJP via
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TB = 16        # b-values per kernel-B step
+_TB = 80        # b-values per kernel-B step (divides padded NBP)
+_KZ = 4         # z-slices per kernel-A step
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pass1_kernel(i_ref, f_ref, d_ref, of_ref, od_ref, *, f_w):
-    nz, nbp = i_ref.shape[2], i_ref.shape[3]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (nbp, f_w), 1)
-    src_f = f_ref[0, 0]
-    src_d = d_ref[0, 0]
-    for k in range(nz):                                # static unroll
-        idx = i_ref[0, 0, k, :]                        # (NBP,) int32
-        onehot = (idx[:, None] == iota).astype(jnp.bfloat16)
-        of_ref[0, 0, k] = jnp.dot(
-            onehot, src_f, preferred_element_type=jnp.float32
-        ).astype(of_ref.dtype)
-        od_ref[0, 0, k] = jnp.dot(
-            onehot, src_d, preferred_element_type=jnp.float32
-        ).astype(od_ref.dtype)
+def _chunk(n: int, target: int) -> int:
+    """Largest divisor of n that is <= target and 8-aligned (Mosaic
+    requires second-minor block dims divisible by 8 unless full)."""
+    if n <= target:
+        return n
+    c = min(n, target) // 8 * 8
+    while c > 8 and n % c:
+        c -= 8
+    return c if c >= 8 and n % c == 0 else n
 
 
-def _pass2_kernel(j_ref, kd_ref, if_ref, id_ref, out_ref, *, f_h, cd):
+def _pass1_kernel(i_ref, f_ref, o_ref, *, f_w, jc, kz):
+    for kk in range(kz):                               # static unroll
+        for jj in range(jc):
+            idx = i_ref[0, kk, jj, :]                  # (NBP,) int32
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (idx.shape[0], f_w), 1)
+            onehot = (idx[:, None] == iota).astype(jnp.bfloat16)
+            o_ref[0, kk, jj] = jnp.dot(
+                onehot, f_ref[0, jj], preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+
+
+def _pass2_kernel(j_ref, kd_ref, i_ref, out_ref, *, f_h, c_f, tb):
     n = pl.program_id(2)
 
     @pl.when(n == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    iota_d = jax.lax.broadcasted_iota(
-        jnp.int32, (out_ref.shape[2], cd), 1)
-    for b in range(_TB):                               # static unroll
+    ng, m = out_ref.shape[2], out_ref.shape[3]
+    # Depth lanes sit at [c_f, c_f + CD); lane c_f + kd is the bin.
+    lane_d = jax.lax.broadcasted_iota(jnp.int32, (ng, m), 1) - c_f
+    for b in range(tb):                                # static unroll
         jdx = j_ref[0, 0, b, :]                        # (NG,)
-        iota_j = jax.lax.broadcasted_iota(
-            jnp.int32, (jdx.shape[0], f_h), 1)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (ng, f_h), 1)
         onehot = (jdx[:, None] == iota_j).astype(jnp.bfloat16)
-        outf = jnp.dot(onehot, if_ref[0, :, 0, b, :],
-                       preferred_element_type=jnp.float32)   # (NG, CF)
-        outd = jnp.dot(onehot, id_ref[0, :, 0, b, :],
-                       preferred_element_type=jnp.float32)   # (NG, CD)
+        taps = jnp.dot(onehot, i_ref[0, 0, :, b, :],
+                       preferred_element_type=jnp.float32)    # (NG, M)
         kd = kd_ref[0, 0, b, :]
-        w = jnp.sum(outd * (kd[:, None] == iota_d), axis=-1)
-        out_ref[0, b] += outf * w[:, None]
+        w = jnp.sum(jnp.where(lane_d == kd[:, None], taps, 0.0), axis=-1)
+        out_ref[0, b] += (taps * w[:, None]).astype(out_ref.dtype)
 
 
-def _group_forward(fp_feat, fp_depth, i_star, j_star, kd_star):
+def _group_forward(fp, i_star, j_star, kd_star, c_f):
     """Run both kernels for one camera group.
 
-    Shapes (all padded): fp_feat (G, fH, fW, CF) bf16, fp_depth
-    (G, fH, fW, CD) bf16, i_star (G, fH, nz, NBP) int32,
+    Shapes (all padded): fp (G, fH, fW, M) bf16 with feat lanes
+    [0, c_f) and depth lanes [c_f, M); i_star (G, nz, fH, NBP) int32;
     j_star/kd_star (G, nz, NBP, NG) int32.
-    Returns out (nz, NBP, NG, CF) float32.
+    Returns out (nz, NBP, NG, M) bfloat16 (feat lanes carry the result;
+    depth lanes carry garbage and are sliced off by the caller).
     """
-    g_n, f_h, f_w, cf = fp_feat.shape
-    cd = fp_depth.shape[-1]
-    nz, nbp = i_star.shape[2], i_star.shape[3]
+    g_n, f_h, f_w, m = fp.shape
+    nz, nbp = i_star.shape[1], i_star.shape[3]
     ng = j_star.shape[-1]
+    jc = _chunk(f_h, 40)
+    kz = _chunk(nz, _KZ)
 
-    inter_shape = jax.ShapeDtypeStruct((g_n, f_h, nz, nbp, cf),
-                                       jnp.bfloat16)
-    interd_shape = jax.ShapeDtypeStruct((g_n, f_h, nz, nbp, cd),
-                                        jnp.bfloat16)
-    inter_f, inter_d = pl.pallas_call(
-        functools.partial(_pass1_kernel, f_w=f_w),
-        grid=(g_n, f_h),
-        in_specs=[
-            pl.BlockSpec((1, 1, nz, nbp), lambda n, j: (n, j, 0, 0),
+    inter = pl.pallas_call(
+        functools.partial(_pass1_kernel, f_w=f_w, jc=jc, kz=kz),
+        grid=(g_n, f_h // jc, nz // kz),           # z innermost: fp block
+        in_specs=[                                 # stays VMEM-resident
+            pl.BlockSpec((1, kz, jc, nbp), lambda n, j, k: (n, k, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, f_w, cf), lambda n, j: (n, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, f_w, cd), lambda n, j: (n, j, 0, 0),
+            pl.BlockSpec((1, jc, f_w, m), lambda n, j, k: (n, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, nz, nbp, cf),
-                         lambda n, j: (n, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nz, nbp, cd),
-                         lambda n, j: (n, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[inter_shape, interd_shape],
+        out_specs=pl.BlockSpec((1, kz, jc, nbp, m),
+                               lambda n, j, k: (n, k, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g_n, nz, f_h, nbp, m),
+                                       jnp.bfloat16),
         cost_estimate=pl.CostEstimate(
-            flops=2 * g_n * f_h * nz * nbp * f_w * (cf + cd),
-            bytes_accessed=(fp_feat.size + fp_depth.size) * 2 * nz
-            + (g_n * f_h * nz * nbp) * (4 + 2 * (cf + cd)),
+            flops=2 * g_n * f_h * nz * nbp * f_w * m,
+            bytes_accessed=fp.size * 2 + i_star.size * 4
+            + g_n * nz * f_h * nbp * m * 2,
             transcendentals=0),
-    )(i_star, fp_feat, fp_depth)
+    )(i_star, fp)
 
+    tb = _chunk(nbp, _TB)
     out = pl.pallas_call(
-        functools.partial(_pass2_kernel, f_h=f_h, cd=cd),
-        grid=(nz, nbp // _TB, g_n),
-        in_specs=[
-            pl.BlockSpec((1, 1, _TB, ng), lambda k, bc, n: (n, k, bc, 0),
+        functools.partial(_pass2_kernel, f_h=f_h, c_f=c_f, tb=tb),
+        grid=(nz, nbp // tb, g_n),                 # cam innermost: output
+        in_specs=[                                 # accumulates in VMEM
+            pl.BlockSpec((1, 1, tb, ng), lambda k, bc, n: (n, k, bc, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _TB, ng), lambda k, bc, n: (n, k, bc, 0),
+            pl.BlockSpec((1, 1, tb, ng), lambda k, bc, n: (n, k, bc, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f_h, 1, _TB, cf),
-                         lambda k, bc, n: (n, 0, k, bc, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f_h, 1, _TB, cd),
-                         lambda k, bc, n: (n, 0, k, bc, 0),
+            pl.BlockSpec((1, 1, f_h, tb, m),
+                         lambda k, bc, n: (n, k, 0, bc, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _TB, ng, cf),
+        out_specs=pl.BlockSpec((1, tb, ng, m),
                                lambda k, bc, n: (k, bc, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nz, nbp, ng, cf), jnp.float32),
+        # bf16 accumulator: <= 6 camera contributions, and it halves
+        # the VMEM footprint so TB=80 fits (the backward pass is the
+        # f32 einsum VJP either way).
+        out_shape=jax.ShapeDtypeStruct((nz, nbp, ng, m), jnp.bfloat16),
         cost_estimate=pl.CostEstimate(
-            flops=2 * g_n * nz * nbp * ng * f_h * (cf + cd),
-            bytes_accessed=inter_f.size * 2 + inter_d.size * 2
-            + nz * nbp * ng * (8 + 4 * cf),
+            flops=2 * g_n * nz * nbp * ng * f_h * m,
+            bytes_accessed=inter.size * 2 + nz * nbp * ng * (8 + 2 * m),
             transcendentals=0),
-    )(j_star, kd_star, inter_f, inter_d)
+    )(j_star, kd_star, inter)
     return out
 
 
@@ -172,25 +181,28 @@ def sample_bev_pallas(depth, feat, minv, mt, geom, solve_x: Sequence[bool],
     cd = _round_up(d_bins, 64)
 
     def forward(depth_in, feat_in):
-        fp_feat = jnp.pad(feat_in, ((0, 0),) * 3 + ((0, cf - c_ch),)
-                          ).astype(jnp.bfloat16)
-        fp_depth = jnp.pad(depth_in, ((0, 0),) * 3 + ((0, cd - d_bins),)
-                           ).astype(jnp.bfloat16)
+        # Pack feat + depth into one lane dimension (no lane slicing in
+        # the kernels; the depth bin is selected with a lane mask).
+        fp = jnp.concatenate([
+            jnp.pad(feat_in, ((0, 0),) * 3 + ((0, cf - c_ch),)),
+            jnp.pad(depth_in, ((0, 0),) * 3 + ((0, cd - d_bins),)),
+        ], axis=-1).astype(jnp.bfloat16)
         acc = jnp.zeros((nz, ny, nx, c_ch), jnp.float32)
         for sx in (True, False):
             cams = [n for n, s in enumerate(solve_x) if s == sx]
             if not cams:
                 continue
             n_b = ny if sx else nx
-            n_g = nx if sx else ny
             nbp = _round_up(n_b, _TB)
             idx = [_sample_indices(minv[n], mt[n], sx, geom)
                    for n in cams]
             pad_b = nbp - n_b
+            # i_star (fH, nz, n_b) -> (nz, fH, NBP): kernel A's z-major
+            # layout (a tiny int32 transpose, done by XLA).
             i_star = jnp.stack([
-                jnp.pad(i, ((0, 0), (0, 0), (0, pad_b)),
+                jnp.pad(i.transpose(1, 0, 2), ((0, 0), (0, 0), (0, pad_b)),
                         constant_values=-1)
-                for i, _, _ in idx])              # (G, fH, nz, NBP)
+                for i, _, _ in idx])              # (G, nz, fH, NBP)
             j_star = jnp.stack([
                 jnp.pad(j, ((0, 0), (0, pad_b), (0, 0)),
                         constant_values=-1) for _, j, _ in idx])
@@ -200,9 +212,8 @@ def sample_bev_pallas(depth, feat, minv, mt, geom, solve_x: Sequence[bool],
             # Static per-camera slices (constant fancy indexing lowers
             # to a real gather on this backend — pathologically slow).
             out = _group_forward(
-                jnp.stack([fp_feat[c] for c in cams]),
-                jnp.stack([fp_depth[c] for c in cams]),
-                i_star, j_star, kd_star)
+                jnp.stack([fp[c] for c in cams]),
+                i_star, j_star, kd_star, cf)
             out = out[:, :n_b, :, :c_ch]          # (nz, n_b, n_g, C)
             acc = acc + (out if sx else out.transpose(0, 2, 1, 3))
         return acc
