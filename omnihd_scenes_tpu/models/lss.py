@@ -238,7 +238,12 @@ class LiftSplatShoot(nn.Module):
             pooled = lss_splat(depth_nd, feat_b, ids, nz * ny * nx)
             return pooled.reshape(nz, ny, nx, cfg.camC)
 
-        vox = jax.vmap(splat_one)(feat, depth, rots, trans)
+        # Static per-sample loop instead of vmap: batch sizes here are
+        # small (1-4), and vmap-of-pallas_call breaks this backend's
+        # AOT compiler (HTTP 500 from the compile helper).
+        vox = jnp.stack([
+            splat_one(feat[b], depth[b], rots[b], trans[b])
+            for b in range(feat.shape[0])])
         # Collapse Z into channels: (B, ny, nx, nz * camC).
         b = vox.shape[0]
         bev = jnp.moveaxis(vox, 1, -2).reshape(b, ny, nx, nz * cfg.camC)

@@ -132,6 +132,11 @@ def _group_forward(fp, i_star, j_star, kd_star, c_f):
             bytes_accessed=fp.size * 2 + i_star.size * 4
             + g_n * nz * f_h * nbp * m * 2,
             transcendentals=0),
+        # The unrolled dot chain's live temporaries put the kernel just
+        # past the default 16 MB scoped-vmem budget when embedded in a
+        # large graph (v5e has 128 MB physical VMEM).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
     )(i_star, fp)
 
     tb = _chunk(nbp, _TB)
@@ -158,6 +163,8 @@ def _group_forward(fp, i_star, j_star, kd_star, c_f):
             flops=2 * g_n * nz * nbp * ng * f_h * m,
             bytes_accessed=inter.size * 2 + nz * nbp * ng * (8 + 2 * m),
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
     )(j_star, kd_star, inter)
     return out
 
