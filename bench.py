@@ -18,6 +18,7 @@ PyTorch reference.  The north-star ratio is 2.0 (>= 2x A100).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -26,10 +27,79 @@ NOMINAL_A100_SAMPLES_PER_SEC = 15.0
 N_ITERS = 16
 
 
-def main():
+def main_train():
+    """--train: BEVFusion train-step throughput (fwd+bwd+optimizer),
+    bf16-compute / f32-state policy, N steps chained inside one jit
+    (state carried through the loop is a real data dependency)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from omnihd_scenes_tpu.models.bevfusion import (BEVFusion,
+                                                    BEVFusionConfig)
+    from omnihd_scenes_tpu.train.amp import bf16_policy
+    from omnihd_scenes_tpu.train.builder import (anchors_for,
+                                                 make_loss_fn_generic)
+
+    cfg = BEVFusionConfig()
+    model = BEVFusion(cfg)
+
+    b, n_pts, max_gt = 1, 40000, 64
+    rng = np.random.RandomState(0)
+    batch = {
+        'points': rng.uniform(-50, 50, (b, n_pts, 8)).astype(np.float32),
+        'points_mask': np.ones((b, n_pts), bool),
+        'imgs': rng.randn(b, 6, 544, 960, 3).astype(np.float32),
+        'img2lidar_rots': np.tile(np.eye(3, dtype=np.float32) * 0.01,
+                                  (b, 6, 1, 1)),
+        'img2lidar_trans': np.zeros((b, 6, 3), np.float32),
+        'gt_boxes': rng.uniform(-40, 40, (b, max_gt, 9)).astype(np.float32),
+        'gt_labels': rng.randint(0, 4, (b, max_gt)).astype(np.int32),
+        'gt_mask': np.ones((b, max_gt), bool),
+    }
+    batch['gt_boxes'][..., 3:6] = rng.uniform(1, 4, (b, max_gt, 3))
+
+    variables = model.init(
+        jax.random.PRNGKey(0), batch['points'], batch['points_mask'],
+        batch['imgs'], batch['img2lidar_rots'], batch['img2lidar_trans'],
+        train=False)
+    loss_fn = bf16_policy(
+        make_loss_fn_generic(model, 'bevfusion', anchors_for(model,
+                                                             'bevfusion')))
+    tx = optax.adamw(2e-4)
+    params = variables['params']
+    opt_state = tx.init(params)
+    stats = variables.get('batch_stats', {})
+    dev_batch = jax.device_put(batch)
+
+    @jax.jit
+    def bench_loop(p, o, s, bt):
+        def body(i, carry):
+            p_c, o_c, s_c = carry
+            (loss, (_, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p_c, s_c, bt)
+            updates, o_n = tx.update(grads, o_c, p_c)
+            return (optax.apply_updates(p_c, updates), o_n, new_stats)
+        p_f, _, _ = jax.lax.fori_loop(0, N_ITERS, body, (p, o, s))
+        return jax.tree.leaves(p_f)[0].ravel()[0]
+
+    float(bench_loop(params, opt_state, stats, dev_batch))   # compile
+    t0 = time.perf_counter()
+    float(bench_loop(params, opt_state, stats, dev_batch))
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        'metric': 'bevfusion_train_step_samples_per_sec',
+        'value': round(N_ITERS * b / dt, 2),
+        'unit': 'samples/sec/chip',
+        'vs_baseline': None,
+    }))
+
+
+def main(int8: bool = False):
     import jax
     import jax.numpy as jnp
 
+    from omnihd_scenes_tpu.models import quant
     from omnihd_scenes_tpu.models.anchor_head import (DecodeCfg,
                                                       anchor_head_get_bboxes)
     from omnihd_scenes_tpu.models.bevfusion import (BEVFusion,
@@ -61,16 +131,28 @@ def main():
 
     # bf16 deployment precision: conv/matmul compute in bf16 (2x MXU
     # throughput, halved HBM traffic); box decode + NMS stay f32.
+    # --int8 adds the PTQ tier on top: conv trunks run s8xs8->s32
+    # (2x the bf16 MXU rate on v5e) with scales calibrated here.
     params = jax.device_put(to_bf16(variables['params']))
     stats = jax.device_put(to_bf16(variables.get('batch_stats', {})))
     dev_in = jax.device_put(to_bf16((points, mask, imgs, rots, trans,
                                      anchors_b)))
 
+    quant_vars = {}
+    if int8:
+        quant.set_mode('calib')
+        _, muts = model.apply(
+            {'params': params, 'batch_stats': stats},
+            *dev_in[:5], train=False, mutable=['quant'])
+        quant_vars = {'quant': jax.device_put(muts['quant'])}
+        quant.set_mode('int8')
+
     @jax.jit
     def bench_loop(p, s, pts, msk, im, r, t, anc):
         def body(i, carry):
             im_i = im + carry * 1e-30   # chain: forces sequential iters
-            out = model.apply({'params': p, 'batch_stats': s},
+            out = model.apply({'params': p, 'batch_stats': s,
+                               **quant_vars},
                               pts, msk, im_i, r, t, train=False)
             boxes, scores, labels, valid = jax.vmap(
                 lambda c, b, d, a: anchor_head_get_bboxes(
@@ -90,7 +172,8 @@ def main():
 
     samples_per_sec = N_ITERS / dt
     print(json.dumps({
-        'metric': 'bevfusion_cam_radar_infer_samples_per_sec',
+        'metric': 'bevfusion_cam_radar_infer_samples_per_sec'
+                  + ('_int8' if int8 else ''),
         'value': round(samples_per_sec, 2),
         'unit': 'samples/sec/chip',
         'vs_baseline': round(samples_per_sec / NOMINAL_A100_SAMPLES_PER_SEC,
@@ -99,4 +182,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if '--train' in sys.argv:
+        main_train()
+    else:
+        main(int8='--int8' in sys.argv)

@@ -12,6 +12,8 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+
+from omnihd_scenes_tpu.models.quant import Conv as QConv
 import jax
 import jax.numpy as jnp
 
@@ -31,11 +33,11 @@ class FPN(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
-        laterals = [nn.Conv(self.out_channels, (1, 1))(f) for f in feats]
+        laterals = [QConv(self.out_channels, (1, 1))(f) for f in feats]
         for i in range(len(laterals) - 1, 0, -1):
             up = _resize_bilinear(laterals[i], laterals[i - 1].shape[-3:-1])
             laterals[i - 1] = laterals[i - 1] + up
-        outs = [nn.Conv(self.out_channels, (3, 3), padding='SAME')(l)
+        outs = [QConv(self.out_channels, (3, 3), padding='SAME')(l)
                 for l in laterals]
         return tuple(outs[:self.num_outs])
 
@@ -53,6 +55,6 @@ class FPNC(nn.Module):
                    num_outs=len(feats))(feats)
         resized = [_resize_bilinear(f, self.target_hw) for f in outs]
         x = jnp.concatenate(resized, axis=-1)
-        x = nn.Conv(self.outC, (3, 3), padding='SAME', use_bias=False)(x)
+        x = QConv(self.outC, (3, 3), padding='SAME', use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train)(x)
         return nn.relu(x)

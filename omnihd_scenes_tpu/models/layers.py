@@ -14,6 +14,8 @@ from typing import Callable, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from omnihd_scenes_tpu.models.quant import Conv as QConv
+
 # Default BN hyperparams in the reference configs: eps=1e-3, momentum=0.01
 # (torch momentum 0.01 == flax momentum 0.99).
 BN_EPS = 1e-3
@@ -32,8 +34,8 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
-                    padding=self.padding, use_bias=False)(x)
+        x = QConv(self.features, self.kernel_size, strides=self.strides,
+                  padding=self.padding, use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, axis_name=self.axis_name)(x)
         if self.use_relu:
@@ -57,8 +59,8 @@ class DeconvBNReLU(nn.Module):
                                  use_bias=False)(x)
         else:  # fractional stride = strided conv downsample
             s = int(round(1 / self.stride))
-            x = nn.Conv(self.features, (s, s), strides=(s, s),
-                        use_bias=False)(x)
+            x = QConv(self.features, (s, s), strides=(s, s),
+                      use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, axis_name=self.axis_name)(x)
         return nn.relu(x)

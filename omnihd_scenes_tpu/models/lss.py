@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from omnihd_scenes_tpu.models.layers import ConvBNReLU
+from omnihd_scenes_tpu.models.quant import Conv as QConv
 from omnihd_scenes_tpu.ops.bev_pool import frustum_voxel_ids, lss_splat
 from omnihd_scenes_tpu.ops.lss_project import lss_sample_bev
 
@@ -112,9 +113,9 @@ class ASPP(nn.Module):
     def __call__(self, x, train: bool = True):
         def branch(k, dilation):
             pad = 0 if k == 1 else dilation
-            y = nn.Conv(self.mid_channels, (k, k),
-                        kernel_dilation=(dilation, dilation),
-                        padding=[(pad, pad)] * 2, use_bias=False)(x)
+            y = QConv(self.mid_channels, (k, k),
+                      kernel_dilation=(dilation, dilation),
+                      padding=[(pad, pad)] * 2, use_bias=False)(x)
             y = nn.BatchNorm(use_running_average=not train)(y)
             return nn.relu(y)
 
@@ -123,12 +124,12 @@ class ASPP(nn.Module):
         b3 = branch(3, 12)
         b4 = branch(3, 18)
         g = jnp.mean(x, axis=(-3, -2), keepdims=True)
-        g = nn.Conv(self.mid_channels, (1, 1), use_bias=False)(g)
+        g = QConv(self.mid_channels, (1, 1), use_bias=False)(g)
         g = nn.BatchNorm(use_running_average=not train)(g)
         g = nn.relu(g)
         g = jnp.broadcast_to(g, b4.shape[:-1] + (self.mid_channels,))
         y = jnp.concatenate([b1, b2, b3, b4, g], axis=-1)
-        y = nn.Conv(self.mid_channels, (1, 1), use_bias=False)(y)
+        y = QConv(self.mid_channels, (1, 1), use_bias=False)(y)
         y = nn.BatchNorm(use_running_average=not train)(y)
         return nn.relu(y)
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from omnihd_scenes_tpu.models.quant import Conv as QConv
 import jax.numpy as jnp
 
 from omnihd_scenes_tpu.models.dcn import DeformConv
@@ -28,7 +30,7 @@ class BasicBlock(nn.Module):
     def __call__(self, x):
         residual = x
         conv3 = (DeformConv if self.dcn else
-                 lambda f, k, **kw: nn.Conv(f, (k, k),
+                 lambda f, k, **kw: QConv(f, (k, k),
                                             padding=[(1, 1), (1, 1)], **kw))
         y = conv3(self.features, 3, strides=(self.strides, self.strides)
                   if not self.dcn else self.strides, use_bias=False)(x)
@@ -37,7 +39,7 @@ class BasicBlock(nn.Module):
         y = conv3(self.features, 3, use_bias=False)(y)
         y = nn.BatchNorm(use_running_average=self.use_running_average)(y)
         if residual.shape != y.shape:
-            residual = nn.Conv(self.features, (1, 1),
+            residual = QConv(self.features, (1, 1),
                                strides=(self.strides,) * 2,
                                use_bias=False)(x)
             residual = nn.BatchNorm(
@@ -55,22 +57,22 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False)(x)
+        y = QConv(self.features, (1, 1), use_bias=False)(x)
         y = nn.BatchNorm(use_running_average=self.use_running_average)(y)
         y = nn.relu(y)
         if self.dcn:
             y = DeformConv(self.features, 3, strides=self.strides,
                            use_bias=False)(y)
         else:
-            y = nn.Conv(self.features, (3, 3),
+            y = QConv(self.features, (3, 3),
                         strides=(self.strides,) * 2,
                         padding=[(1, 1), (1, 1)], use_bias=False)(y)
         y = nn.BatchNorm(use_running_average=self.use_running_average)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False)(y)
+        y = QConv(self.features * 4, (1, 1), use_bias=False)(y)
         y = nn.BatchNorm(use_running_average=self.use_running_average)(y)
         if residual.shape != y.shape:
-            residual = nn.Conv(self.features * 4, (1, 1),
+            residual = QConv(self.features * 4, (1, 1),
                                strides=(self.strides,) * 2,
                                use_bias=False)(x)
             residual = nn.BatchNorm(
@@ -103,7 +105,7 @@ class ResNet(nn.Module):
         # Frozen BN ignores `train`; otherwise stats update in training.
         ura = True if self.frozen_bn else (not train)
 
-        x = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2),
+        x = QConv(self.stem_channels, (7, 7), strides=(2, 2),
                     padding=[(3, 3), (3, 3)], use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=ura)(x)
         x = nn.relu(x)

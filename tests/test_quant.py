@@ -1,0 +1,94 @@
+"""Post-training int8 quantization (omnihd_scenes_tpu.models.quant).
+
+The ``off`` mode must be bit-identical to ``nn.Conv`` (same params,
+same module paths, same outputs); the calib -> int8 path must stay
+within PTQ noise of the float model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import flax.linen as nn
+
+from omnihd_scenes_tpu.models import quant
+from omnihd_scenes_tpu.models.quant import Conv
+
+
+@pytest.fixture(autouse=True)
+def _reset_mode():
+    yield
+    quant.set_mode('off')
+
+
+def _cosine(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def test_off_mode_is_nn_conv_exactly():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 20, 32).astype(np.float32))
+    ref = nn.Conv(64, (3, 3), strides=(2, 2))
+    mine = Conv(64, (3, 3), strides=(2, 2))
+    v_ref = ref.init(jax.random.PRNGKey(1), x)
+    v = mine.init(jax.random.PRNGKey(1), x)
+    # Same param tree (module path 'Conv_...' comes from the class name).
+    assert jax.tree.structure(v) == jax.tree.structure(v_ref)
+    assert 'quant' not in v
+    assert bool(jnp.all(ref.apply(v_ref, x) == mine.apply(v, x)))
+
+
+@pytest.mark.parametrize('kwargs', [
+    dict(kernel_size=(3, 3)),
+    dict(kernel_size=(3, 3), strides=(2, 2), use_bias=False),
+    dict(kernel_size=(3, 3), kernel_dilation=(6, 6),
+         padding=[(6, 6), (6, 6)], use_bias=False),
+    dict(kernel_size=(1, 1)),
+])
+def test_int8_close_to_float(kwargs):
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 24, 28, 32).astype(np.float32))
+    m = Conv(48, **kwargs)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y_f = m.apply(v, x)
+
+    quant.set_mode('calib')
+    y_c, muts = m.apply(v, x, mutable=['quant'])
+    assert bool(jnp.allclose(y_c, y_f))
+    quant.set_mode('int8')
+    y_q = m.apply({**v, 'quant': muts['quant']}, x)
+    assert y_q.shape == y_f.shape
+    assert _cosine(y_q, y_f) > 0.999
+    rel = float(jnp.max(jnp.abs(y_q - y_f))
+                / (jnp.max(jnp.abs(y_f)) + 1e-9))
+    assert rel < 0.05, rel
+
+
+def test_int8_without_calibration_falls_back_to_float():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 8, 8, 16).astype(np.float32))
+    m = Conv(8, (3, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    quant.set_mode('int8')
+    y = m.apply(v, x)                     # no 'quant' collection
+    quant.set_mode('off')
+    assert bool(jnp.allclose(y, m.apply(v, x)))
+
+
+def test_bev_encoder_end_to_end_int8():
+    from omnihd_scenes_tpu.models.lss import BevEncoderConvs
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 20, 30, 64).astype(np.float32))
+    m = BevEncoderConvs(32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    y_f = m.apply(v, x, train=False)
+
+    quant.set_mode('calib')
+    _, muts = m.apply(v, x, train=False, mutable=['quant'])
+    assert len(jax.tree.leaves(muts['quant'])) == 4   # one amax per conv
+    quant.set_mode('int8')
+    y_q = m.apply({**v, 'quant': muts['quant']}, x, train=False)
+    assert _cosine(y_q, y_f) > 0.99
