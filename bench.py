@@ -95,7 +95,7 @@ def main_train():
     }))
 
 
-def main(int8: bool = False):
+def main(int8: bool = False, batch: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -108,20 +108,20 @@ def main(int8: bool = False):
     cfg = BEVFusionConfig()          # full-scale flagship
     model = BEVFusion(cfg)
 
-    n_pts = 40000
+    n_pts, b = 40000, batch
     rng = np.random.RandomState(0)
-    points = rng.uniform(-55, 55, size=(1, n_pts, 8)).astype(np.float32)
-    points[..., 1] = rng.uniform(-38, 38, size=(1, n_pts))
-    points[..., 2] = rng.uniform(-2, 4, size=(1, n_pts))
-    mask = np.ones((1, n_pts), dtype=bool)
-    imgs = rng.randn(1, 6, 544, 960, 3).astype(np.float32)
-    rots = np.tile(np.eye(3, dtype=np.float32) * 0.01, (1, 6, 1, 1))
-    trans = np.zeros((1, 6, 3), np.float32)
+    points = rng.uniform(-55, 55, size=(b, n_pts, 8)).astype(np.float32)
+    points[..., 1] = rng.uniform(-38, 38, size=(b, n_pts))
+    points[..., 2] = rng.uniform(-2, 4, size=(b, n_pts))
+    mask = np.ones((b, n_pts), dtype=bool)
+    imgs = rng.randn(b, 6, 544, 960, 3).astype(np.float32)
+    rots = np.tile(np.eye(3, dtype=np.float32) * 0.01, (b, 6, 1, 1))
+    trans = np.zeros((b, 6, 3), np.float32)
 
     variables = model.init(jax.random.PRNGKey(0), points, mask,
                            imgs, rots, trans, train=False)
     anchors_b = np.ascontiguousarray(
-        cfg.pillars.anchors()[None])
+        np.tile(cfg.pillars.anchors()[None], (b, 1, 1)))
     decode_cfg = DecodeCfg()         # nms_pre=1000, max_num=500
 
     def to_bf16(tree):
@@ -141,18 +141,26 @@ def main(int8: bool = False):
     quant_vars = {}
     if int8:
         quant.set_mode('calib')
-        _, muts = model.apply(
-            {'params': params, 'batch_stats': stats},
-            *dev_in[:5], train=False, mutable=['quant'])
+        # jit the calibration pass: eager apply through the axon relay
+        # is one RPC per op and takes tens of minutes.
+        calib = jax.jit(lambda v, *xs: model.apply(
+            v, *xs, train=False, mutable=['quant'])[1])
+        muts = jax.device_get(
+            calib({'params': params, 'batch_stats': stats}, *dev_in[:5]))
+        quant.set_mode('freeze')
+        freeze = jax.jit(lambda v, *xs: model.apply(
+            v, *xs, train=False, mutable=['quant'])[1])
+        muts = jax.device_get(
+            freeze({'params': params, 'batch_stats': stats,
+                    'quant': muts['quant']}, *dev_in[:5]))
         quant_vars = {'quant': jax.device_put(muts['quant'])}
         quant.set_mode('int8')
 
     @jax.jit
-    def bench_loop(p, s, pts, msk, im, r, t, anc):
+    def bench_loop(p, s, qv, pts, msk, im, r, t, anc):
         def body(i, carry):
             im_i = im + carry * 1e-30   # chain: forces sequential iters
-            out = model.apply({'params': p, 'batch_stats': s,
-                               **quant_vars},
+            out = model.apply({'params': p, 'batch_stats': s, **qv},
                               pts, msk, im_i, r, t, train=False)
             boxes, scores, labels, valid = jax.vmap(
                 lambda c, b, d, a: anchor_head_get_bboxes(
@@ -164,16 +172,17 @@ def main(int8: bool = False):
         return jax.lax.fori_loop(0, N_ITERS, body, jnp.bfloat16(0))
 
     # Warmup / compile.
-    float(bench_loop(params, stats, *dev_in))
+    float(bench_loop(params, stats, quant_vars, *dev_in))
 
     t0 = time.perf_counter()
-    float(bench_loop(params, stats, *dev_in))
+    float(bench_loop(params, stats, quant_vars, *dev_in))
     dt = time.perf_counter() - t0
 
-    samples_per_sec = N_ITERS / dt
+    samples_per_sec = N_ITERS * b / dt
     print(json.dumps({
         'metric': 'bevfusion_cam_radar_infer_samples_per_sec'
-                  + ('_int8' if int8 else ''),
+                  + ('_int8' if int8 else '')
+                  + (f'_b{b}' if b != 1 else ''),
         'value': round(samples_per_sec, 2),
         'unit': 'samples/sec/chip',
         'vs_baseline': round(samples_per_sec / NOMINAL_A100_SAMPLES_PER_SEC,
@@ -185,4 +194,7 @@ if __name__ == '__main__':
     if '--train' in sys.argv:
         main_train()
     else:
-        main(int8='--int8' in sys.argv)
+        b = 1
+        if '--batch' in sys.argv:
+            b = int(sys.argv[sys.argv.index('--batch') + 1])
+        main(int8='--int8' in sys.argv, batch=b)

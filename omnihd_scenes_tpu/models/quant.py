@@ -21,6 +21,10 @@ Usage:
     _, muts = model.apply(variables, *batch, train=False,
                           mutable=['quant'])
     variables = {**variables, 'quant': muts['quant']}
+    quant.set_mode('freeze')          # optional but recommended:
+    _, muts = model.apply(variables, *batch, train=False,
+                          mutable=['quant'])   # materialize int8 weights
+    variables = {**variables, 'quant': muts['quant']}
     quant.set_mode('int8')
     out = model.apply(variables, *batch, train=False)
 
@@ -43,8 +47,8 @@ from typing import Sequence, Tuple, Union
 import flax.linen as nn
 import jax.numpy as jnp
 
-_MODE = 'off'          # 'off' | 'calib' | 'int8'
-_VALID = ('off', 'calib', 'int8')
+_MODE = 'off'          # 'off' | 'calib' | 'freeze' | 'int8'
+_VALID = ('off', 'calib', 'freeze', 'int8')
 
 
 def set_mode(mode: str) -> None:
@@ -80,12 +84,27 @@ class Conv(nn.Conv):
                 amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
             return y
 
-        # --- int8 ---
+        # --- freeze / int8 ---
         if not self.has_variable('quant', 'act_amax'):
             # Not calibrated (e.g. a module added after calibration):
             # stay in the float path rather than emitting garbage.
             return super().__call__(x)
         amax = self.get_variable('quant', 'act_amax')
+
+        if mode == 'freeze':
+            # Materialize int8 weights + per-channel scales into the
+            # quant collection so the deployment graph reads them as
+            # stored arrays (no in-graph requantization, int8 param
+            # HBM traffic).  The float path declares the params.
+            y = super().__call__(x)
+            kf = self.get_variable('params', 'kernel').astype(jnp.float32)
+            sw_f = jnp.maximum(
+                jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1)))
+                / 127.0, 1e-12)
+            w8_f = jnp.clip(jnp.round(kf / sw_f), -127, 127).astype(jnp.int8)
+            self.variable('quant', 'w8', lambda: w8_f).value = w8_f
+            self.variable('quant', 'w_scale', lambda: sw_f).value = sw_f
+            return y
 
         kernel_size = tuple(self.kernel_size) if not isinstance(
             self.kernel_size, int) else (self.kernel_size,)
@@ -98,14 +117,25 @@ class Conv(nn.Conv):
                            self.param_dtype)
                 if self.use_bias else None)
 
+        # nn.Conv treats extra leading dims as batch: flatten them for
+        # the lax conv and restore after (DepthNet passes (B,N,H,W,C)).
+        num_spatial = len(kernel_size)
+        lead_shape = x.shape[:x.ndim - num_spatial - 1]
+        if len(lead_shape) != 1:
+            x = x.reshape((-1,) + x.shape[x.ndim - num_spatial - 1:])
+
         sx = jnp.maximum(amax, 1e-6).astype(jnp.float32) / 127.0
         x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
                       -127, 127).astype(jnp.int8)
-        kf = kernel.astype(jnp.float32)
-        sw = jnp.max(jnp.abs(kf),
-                     axis=tuple(range(kf.ndim - 1))) / 127.0   # (features,)
-        sw = jnp.maximum(sw, 1e-12)
-        w8 = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+        if self.has_variable('quant', 'w8'):
+            w8 = self.get_variable('quant', 'w8')
+            sw = self.get_variable('quant', 'w_scale')
+        else:
+            kf = kernel.astype(jnp.float32)
+            sw = jnp.max(jnp.abs(kf),
+                         axis=tuple(range(kf.ndim - 1))) / 127.0
+            sw = jnp.maximum(sw, 1e-12)
+            w8 = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
 
         strides = tuple(self.strides) if not isinstance(
             self.strides, int) else (self.strides,) * len(kernel_size)
@@ -117,9 +147,10 @@ class Conv(nn.Conv):
         padding: Union[str, Sequence[Tuple[int, int]]] = self.padding
 
         import jax.lax as lax
+        spatial = ''.join('HWD'[:num_spatial])
         dn = lax.conv_dimension_numbers(
             x8.shape, w8.shape,
-            ('NHWC', 'HWIO', 'NHWC') if x.ndim == 4 else None)
+            (f'N{spatial}C', f'{spatial}IO', f'N{spatial}C'))
         y32 = lax.conv_general_dilated(
             x8, w8, strides, padding, rhs_dilation=tuple(dilation),
             dimension_numbers=dn,
@@ -128,4 +159,6 @@ class Conv(nn.Conv):
         y = y32.astype(jnp.float32) * (sx * sw)
         if bias is not None:
             y = y + bias.astype(jnp.float32)
+        if len(lead_shape) != 1:
+            y = y.reshape(lead_shape + y.shape[1:])
         return y.astype(x.dtype)

@@ -66,6 +66,22 @@ def test_int8_close_to_float(kwargs):
     assert rel < 0.05, rel
 
 
+def test_int8_extra_leading_batch_dims():
+    # DepthNet feeds (B, N_views, H, W, C); nn.Conv flattens the extra
+    # leading dims and the int8 path must do the same.
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 3, 12, 16, 8).astype(np.float32))
+    m = Conv(16, (3, 3), padding='SAME')
+    v = m.init(jax.random.PRNGKey(0), x)
+    y_f = m.apply(v, x)
+    quant.set_mode('calib')
+    _, muts = m.apply(v, x, mutable=['quant'])
+    quant.set_mode('int8')
+    y_q = m.apply({**v, 'quant': muts['quant']}, x)
+    assert y_q.shape == y_f.shape
+    assert _cosine(y_q, y_f) > 0.999
+
+
 def test_int8_without_calibration_falls_back_to_float():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(1, 8, 8, 16).astype(np.float32))
@@ -75,6 +91,27 @@ def test_int8_without_calibration_falls_back_to_float():
     y = m.apply(v, x)                     # no 'quant' collection
     quant.set_mode('off')
     assert bool(jnp.allclose(y, m.apply(v, x)))
+
+
+def test_freeze_matches_in_graph_quantization():
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 16, 20, 24).astype(np.float32))
+    m = Conv(32, (3, 3), padding='SAME')
+    v = m.init(jax.random.PRNGKey(0), x)
+    quant.set_mode('calib')
+    _, muts = m.apply(v, x, mutable=['quant'])
+    quant.set_mode('int8')
+    y_live = m.apply({**v, 'quant': muts['quant']}, x)
+    quant.set_mode('freeze')
+    y_frozen_fwd, muts2 = m.apply({**v, 'quant': muts['quant']}, x,
+                                  mutable=['quant'])
+    # freeze mode forwards through the float path
+    quant.set_mode('off')
+    assert bool(jnp.allclose(y_frozen_fwd, m.apply(v, x)))
+    # frozen int8 graph == in-graph quantization bit-for-bit
+    quant.set_mode('int8')
+    y_frozen = m.apply({**v, 'quant': muts2['quant']}, x)
+    assert bool(jnp.all(y_frozen == y_live))
 
 
 def test_bev_encoder_end_to_end_int8():
