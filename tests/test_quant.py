@@ -19,6 +19,7 @@ from omnihd_scenes_tpu.models.quant import Conv
 def _reset_mode():
     yield
     quant.set_mode('off')
+    quant.set_fused(False)
 
 
 def _cosine(a, b):
@@ -112,6 +113,74 @@ def test_freeze_matches_in_graph_quantization():
     quant.set_mode('int8')
     y_frozen = m.apply({**v, 'quant': muts2['quant']}, x)
     assert bool(jnp.all(y_frozen == y_live))
+
+
+def test_qat_fake_quant_and_ste_gradients():
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 10, 12, 16).astype(np.float32))
+    m = Conv(24, (3, 3), padding='SAME')
+    v = m.init(jax.random.PRNGKey(0), x)
+    y_f = m.apply(v, x)
+
+    quant.set_mode('qat')
+    v_q = m.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(v_q['params']) == jax.tree.structure(
+        v['params'])
+    y_q, muts = m.apply(v, x, mutable=['quant'])
+    # fake-quant output is close to float but not identical
+    assert _cosine(y_q, y_f) > 0.999
+    assert not bool(jnp.allclose(y_q, y_f))
+    assert float(muts['quant']['act_amax']) > 0
+
+    # straight-through estimator: gradients flow to params and input
+    def loss(params, xin):
+        out, _ = m.apply({'params': params}, xin, mutable=['quant'])
+        return jnp.sum(out ** 2)
+
+    g_p, g_x = jax.grad(loss, argnums=(0, 1))(v['params'], x)
+    assert float(jnp.abs(g_p['kernel']).sum()) > 0
+    assert float(jnp.abs(g_x).sum()) > 0
+    # STE gradient magnitude tracks the float-path gradient
+    quant.set_mode('off')
+
+    def loss_f(params, xin):
+        return jnp.sum(m.apply({'params': params}, xin) ** 2)
+
+    gf_p, _ = jax.grad(loss_f, argnums=(0, 1))(v['params'], x)
+    r = float(jnp.linalg.norm(g_p['kernel'])
+              / (jnp.linalg.norm(gf_p['kernel']) + 1e-9))
+    assert 0.8 < r < 1.25, r
+
+
+def test_fused_eligibility_gate():
+    from omnihd_scenes_tpu.models.quant import _fused_eligible
+
+    x4 = jnp.zeros((1, 8, 8, 128))
+    ok = Conv(128, (3, 3), padding='SAME')
+    # On the CPU test backend the gate always declines (the fused
+    # kernel targets the TPU); the shape/config logic is still checked
+    # by monkeypatching the backend probe.
+    import jax as _jax
+    real = _jax.default_backend
+    quant.set_fused(True)
+    try:
+        _jax.default_backend = lambda: 'tpu'
+        assert _fused_eligible(ok, x4, (3, 3))
+        assert _fused_eligible(
+            Conv(128, (3, 3), padding=[(1, 1), (1, 1)]), x4, (3, 3))
+        assert not _fused_eligible(
+            Conv(128, (3, 3), strides=(2, 2)), x4, (3, 3))
+        assert not _fused_eligible(
+            Conv(128, (3, 3), kernel_dilation=(2, 2)), x4, (3, 3))
+        assert not _fused_eligible(Conv(96, (3, 3)), x4, (3, 3))
+        assert not _fused_eligible(Conv(128, (1, 1)), x4, (1, 1))
+        assert not _fused_eligible(
+            Conv(128, (3, 3)), jnp.zeros((1, 8, 8, 64)), (3, 3))
+    finally:
+        _jax.default_backend = real
+    assert not _fused_eligible(ok, x4, (3, 3))   # cpu backend declines
+    quant.set_fused(False)
+    assert not _fused_eligible(ok, x4, (3, 3))   # opt-in flag off
 
 
 def test_bev_encoder_end_to_end_int8():
