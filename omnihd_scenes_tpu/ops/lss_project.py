@@ -101,14 +101,24 @@ class _Geom:
             + (np.arange(self.nz, dtype=np.float32) + 0.5) * bev_voxel[2])
 
 
-def _sample_indices(minv_n, mt_n, solve_axis_x: bool, g: _Geom):
+def _sample_indices(minv_n, mt_n, solve_axis_x: bool, g: _Geom,
+                    b_window=None):
     """Per-camera index fields for the two passes.
+
+    Args:
+        b_window: optional static (offset, width) restricting the BEV
+            b-axis to the camera's field of view — the index fields
+            (and downstream contractions) then cover only those
+            columns.  Cells outside a camera's FOV already contribute
+            nothing (their one-hot rows are all-zero), so a
+            conservative window changes no output values, only work.
 
     Returns:
         i_star: (fH, nz, n_b) int32 — pass-1 image-column index.
         j_star: (nz, n_b, n_g) int32 — pass-2 image-row index.
         kd_star: (nz, n_b, n_g) int32 — depth-bin index.
-    n_b/n_g are (ny, nx) when solve_axis_x else (nx, ny).
+    n_b/n_g are (ny, nx) when solve_axis_x else (nx, ny); with a
+    window, n_b is its width.
     """
     if solve_axis_x:
         a_col = minv_n[:, 0]                       # coeff of solved X
@@ -118,6 +128,9 @@ def _sample_indices(minv_n, mt_n, solve_axis_x: bool, g: _Geom):
         a_col = minv_n[:, 1]
         bc, gc = g.xc, g.yc
         fixed = minv_n[:, 0]
+    if b_window is not None:
+        off, wd = b_window
+        bc = jax.lax.slice_in_dim(bc, off, off + wd)
     # c[a, k, b] = fixed_a * bc_b + Minv[a,2] * zc_k + mt_a
     cc = (fixed[:, None, None] * bc[None, None, :]
           + minv_n[:, 2][:, None, None] * g.zc[None, :, None]
@@ -168,6 +181,45 @@ def _variant_einsum(fp_n, i_star, j_star, kd_star, c_ch, d_bins,
     return out_plus[..., :c_ch] * w[..., None]     # (nz, n_b, n_g, C)
 
 
+def compute_b_windows(rots, trans, *, image_size, feat_hw, depth_range,
+                      bev_start, bev_voxel, bev_nx,
+                      solve_x: Sequence[bool], margin: int = 2,
+                      align: int = 8):
+    """Derive static per-camera FOV windows from the calibration.
+
+    Runs the index computation once (host side, at model-build time —
+    calibration is static for a deployed rig) and returns, per camera,
+    the (offset, width) range of b columns with any valid sample,
+    widened by ``margin`` cells and aligned to ``align``.  Feed the
+    result to ``lss_sample_bev(b_windows=...)``; it is conservative by
+    construction, so outputs are unchanged.
+    """
+    geom = _Geom(image_size, feat_hw, depth_range, bev_start, bev_voxel,
+                 bev_nx)
+    rots = np.asarray(rots, np.float64)
+    trans = np.asarray(trans, np.float64)
+    minv = np.linalg.inv(rots)
+    mt = -np.einsum('nij,nj->ni', minv, trans)
+    windows = []
+    for n, sx in enumerate(solve_x):
+        i_star, j_star, _ = jax.tree.map(
+            np.asarray,
+            _sample_indices(jnp.asarray(minv[n], jnp.float32),
+                            jnp.asarray(mt[n], jnp.float32), sx, geom))
+        n_b = i_star.shape[-1]
+        valid = ((i_star >= 0).any(axis=(0, 1))
+                 | (j_star >= 0).any(axis=(0, 2)))
+        if not valid.any():
+            windows.append((0, min(align, n_b)))
+            continue
+        lo = max(0, int(np.argmax(valid)) - margin)
+        hi = min(n_b, n_b - int(np.argmax(valid[::-1])) + margin)
+        lo = lo // align * align
+        wd = min(n_b - lo, -(-(hi - lo) // align) * align)
+        windows.append((lo, wd))
+    return tuple(windows)
+
+
 def lss_sample_bev(depth: jnp.ndarray,
                    feat: jnp.ndarray,
                    rots: jnp.ndarray,
@@ -179,6 +231,7 @@ def lss_sample_bev(depth: jnp.ndarray,
                    bev_voxel: Sequence[float],
                    bev_nx: Sequence[int],
                    solve_x: Sequence[bool],
+                   b_windows=None,
                    compute_dtype=None,
                    impl: str = 'auto') -> jnp.ndarray:
     """Sample camera features into the BEV grid (one sample).
@@ -198,6 +251,12 @@ def lss_sample_bev(depth: jnp.ndarray,
         bev_nx: (nx, ny, nz).
         solve_x: per-camera flag — True for cameras viewing mostly along
             BEV x (front/back), False for side cameras.
+        b_windows: optional per-camera static (offset, width) windows on
+            the b axis (y for solve_x cameras, x for side cameras) —
+            the camera's conservative FOV extent in BEV columns.  Cells
+            outside a camera's FOV contribute nothing either way, so
+            correct windows only cut work (~40% at production rig
+            geometry where side cameras see ~60% of x columns).
         compute_dtype: matmul dtype for the one-hot contractions.
         impl: 'einsum', 'pallas', or 'auto' (pallas on TPU backends).
 
@@ -229,11 +288,18 @@ def lss_sample_bev(depth: jnp.ndarray,
 
     solve_x = tuple(bool(s) for s in solve_x)
     assert len(solve_x) == n_cams, (solve_x, n_cams)
+    if b_windows is not None:
+        b_windows = tuple((int(o), int(w)) for o, w in b_windows)
+        assert len(b_windows) == n_cams, (b_windows, n_cams)
+        for (off, wd), sx in zip(b_windows, solve_x):
+            n_b = ny if sx else nx
+            assert 0 <= off and off + wd <= n_b, (off, wd, n_b)
 
     if impl == 'pallas':
         from omnihd_scenes_tpu.ops.pallas_splat import sample_bev_pallas
 
         return sample_bev_pallas(depth, feat, minv, mt, geom, solve_x,
+                                 b_windows=b_windows,
                                  einsum_ref=lambda d, f: lss_sample_bev(
                                      d, f, rots, trans,
                                      image_size=image_size,
@@ -241,6 +307,7 @@ def lss_sample_bev(depth: jnp.ndarray,
                                      bev_start=bev_start,
                                      bev_voxel=bev_voxel, bev_nx=bev_nx,
                                      solve_x=solve_x,
+                                     b_windows=b_windows,
                                      compute_dtype=compute_dtype,
                                      impl='einsum'))
 
@@ -248,10 +315,15 @@ def lss_sample_bev(depth: jnp.ndarray,
     acc = jnp.zeros((nz, ny, nx, c_ch), jnp.float32)
     # Static per-camera loop: solve_x branches have different shapes.
     for n, sx in enumerate(solve_x):
-        idx = _sample_indices(minv[n], mt[n], sx, geom)
+        win = None if b_windows is None else b_windows[n]
+        idx = _sample_indices(minv[n], mt[n], sx, geom, win)
         out = _variant_einsum(fp[n], *idx, c_ch, d_bins, compute_dtype)
-        if sx:                                     # b=y cols, g=x rows
-            acc = acc + out.transpose(0, 1, 2, 3)  # (nz, ny, nx, C)
-        else:                                      # b=x, g=y
-            acc = acc + out.transpose(0, 2, 1, 3)
+        off = 0 if win is None else win[0]
+        if not sx:                                 # b=x, g=y
+            out = out.transpose(0, 2, 1, 3)        # (nz, n_g, wd, C)
+        # scatter-add the window back at its static offset
+        axis = 1 if sx else 2
+        pads = [(0, 0)] * 4
+        pads[axis] = (off, acc.shape[axis] - off - out.shape[axis])
+        acc = acc + jnp.pad(out.astype(jnp.float32), pads)
     return acc

@@ -170,14 +170,17 @@ def _group_forward(fp, i_star, j_star, kd_star, c_f):
 
 
 def sample_bev_pallas(depth, feat, minv, mt, geom, solve_x: Sequence[bool],
-                      einsum_ref=None):
+                      b_windows=None, einsum_ref=None):
     """Pallas forward of the sampling view transform.
 
     Args match :func:`omnihd_scenes_tpu.ops.lss_project.lss_sample_bev`
     after geometry preprocessing (``minv = inv(rots)``,
     ``mt = -minv @ trans``); ``geom`` is the ``_Geom`` bundle.
-    ``einsum_ref(depth, feat)`` supplies the backward pass (the XLA
-    implementation's VJP).
+    ``b_windows`` (static per-camera (offset, width) FOV windows on the
+    b axis) shrink every kernel proportionally; cameras are grouped by
+    (solve_x, window) so kernel B's in-VMEM accumulation over the group
+    stays valid.  ``einsum_ref(depth, feat)`` supplies the backward
+    pass (the XLA implementation's VJP).
     """
     from omnihd_scenes_tpu.ops.lss_project import _sample_indices
 
@@ -195,16 +198,17 @@ def sample_bev_pallas(depth, feat, minv, mt, geom, solve_x: Sequence[bool],
             jnp.pad(depth_in, ((0, 0),) * 3 + ((0, cd - d_bins),)),
         ], axis=-1).astype(jnp.bfloat16)
         acc = jnp.zeros((nz, ny, nx, c_ch), jnp.float32)
-        for sx in (True, False):
-            cams = [n for n, s in enumerate(solve_x) if s == sx]
-            if not cams:
-                continue
-            n_b = ny if sx else nx
-            nbp = _round_up(n_b, _TB)
-            idx = [_sample_indices(minv[n], mt[n], sx, geom)
+        groups = {}
+        for n, sx in enumerate(solve_x):
+            win = ((0, ny if sx else nx) if b_windows is None
+                   else b_windows[n])
+            groups.setdefault((sx, tuple(win)), []).append(n)
+        for (sx, (off, wd)), cams in groups.items():
+            nbp = _round_up(wd, _TB)
+            idx = [_sample_indices(minv[n], mt[n], sx, geom, (off, wd))
                    for n in cams]
-            pad_b = nbp - n_b
-            # i_star (fH, nz, n_b) -> (nz, fH, NBP): kernel A's z-major
+            pad_b = nbp - wd
+            # i_star (fH, nz, wd) -> (nz, fH, NBP): kernel A's z-major
             # layout (a tiny int32 transpose, done by XLA).
             i_star = jnp.stack([
                 jnp.pad(i.transpose(1, 0, 2), ((0, 0), (0, 0), (0, pad_b)),
@@ -221,8 +225,13 @@ def sample_bev_pallas(depth, feat, minv, mt, geom, solve_x: Sequence[bool],
             out = _group_forward(
                 jnp.stack([fp[c] for c in cams]),
                 i_star, j_star, kd_star, cf)
-            out = out[:, :n_b, :, :c_ch]          # (nz, n_b, n_g, C)
-            acc = acc + (out if sx else out.transpose(0, 2, 1, 3))
+            out = out[:, :wd, :, :c_ch]           # (nz, wd, n_g, C)
+            if not sx:
+                out = out.transpose(0, 2, 1, 3)   # (nz, n_g, wd, C)
+            axis = 1 if sx else 2
+            pads = [(0, 0)] * 4
+            pads[axis] = (off, acc.shape[axis] - off - out.shape[axis])
+            acc = acc + jnp.pad(out.astype(jnp.float32), pads)
         return acc
 
     if einsum_ref is None:

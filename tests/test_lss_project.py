@@ -193,3 +193,83 @@ def test_gradients_flow(rand_inputs):
     assert np.isfinite(np.asarray(gf)).all()
     assert float(jnp.abs(gf).sum()) > 0
     assert float(jnp.abs(gd).sum()) > 0
+
+
+def test_b_windows_conservative_equality(rand_inputs):
+    """compute_b_windows windows must leave the output bit-identical
+    (out-of-FOV columns contribute nothing) and actually shrink work
+    on this 6-camera rig."""
+    from omnihd_scenes_tpu.ops.lss_project import compute_b_windows
+
+    depth, feat = rand_inputs
+    wins = compute_b_windows(
+        ROTS, TRANS, image_size=(H, W), feat_hw=(FH, FW),
+        depth_range=(D0, D0 + DD * NDEPTH, DD), bev_start=BEV_START,
+        bev_voxel=BEV_VOXEL, bev_nx=(NX, NY, NZ), solve_x=SOLVE_X)
+    assert len(wins) == 6
+    # NOTE: on this omnidirectional wide-FOV rig the windows stay at
+    # (or near) full extent — a camera's FOV wedge cuts the (b, g)
+    # product space diagonally, so per-COLUMN validity barely shrinks.
+    # Shrinkage is exercised with a narrow-FOV rig below.
+
+    base = _run(depth, feat)
+    got = np.asarray(lss_sample_bev(
+        jnp.asarray(depth), jnp.asarray(feat), jnp.asarray(ROTS),
+        jnp.asarray(TRANS), image_size=(H, W),
+        depth_range=(D0, D0 + DD * NDEPTH, DD),
+        bev_start=BEV_START, bev_voxel=BEV_VOXEL, bev_nx=(NX, NY, NZ),
+        solve_x=SOLVE_X, b_windows=wins, compute_dtype=jnp.float32))
+    np.testing.assert_array_equal(got, base)
+
+
+def test_b_windows_full_extent_noop(rand_inputs):
+    depth, feat = rand_inputs
+    full = tuple((0, NY if sx else NX) for sx in SOLVE_X)
+    got = np.asarray(lss_sample_bev(
+        jnp.asarray(depth), jnp.asarray(feat), jnp.asarray(ROTS),
+        jnp.asarray(TRANS), image_size=(H, W),
+        depth_range=(D0, D0 + DD * NDEPTH, DD),
+        bev_start=BEV_START, bev_voxel=BEV_VOXEL, bev_nx=(NX, NY, NZ),
+        solve_x=SOLVE_X, b_windows=full, compute_dtype=jnp.float32))
+    np.testing.assert_array_equal(got, _run(depth, feat))
+
+
+def test_b_windows_shrink_narrow_fov():
+    """A narrow-FOV forward camera sees only a band of y columns; the
+    derived window must shrink and the windowed output must stay
+    bit-identical."""
+    from omnihd_scenes_tpu.ops.lss_project import compute_b_windows
+
+    f = 240.0                                     # ~13 deg half-FOV
+    k_mat = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]],
+                     np.float64)
+    k_inv = np.linalg.inv(k_mat)
+    r_c2l = np.stack([[0, 0, 1], [-1, 0, 0], [0, -1, 0]],
+                     axis=0).astype(np.float64).T   # look along +x
+    rots = (r_c2l @ k_inv)[None].astype(np.float32)
+    trans = np.array([[0.0, 0.0, 1.8]], np.float32)
+    solve_x = (True,)
+
+    wins = compute_b_windows(
+        rots, trans, image_size=(H, W), feat_hw=(FH, FW),
+        depth_range=(D0, D0 + DD * NDEPTH, DD), bev_start=BEV_START,
+        bev_voxel=BEV_VOXEL, bev_nx=(NX, NY, NZ), solve_x=solve_x)
+    assert wins[0][1] < NY, wins                   # proper subset
+
+    rng = np.random.RandomState(11)
+    depth = np.asarray(jax.nn.softmax(
+        jnp.asarray(rng.randn(1, FH, FW, NDEPTH).astype(np.float32)),
+        axis=-1))
+    feat = rng.randn(1, FH, FW, C).astype(np.float32)
+    kw = dict(image_size=(H, W), depth_range=(D0, D0 + DD * NDEPTH, DD),
+              bev_start=BEV_START, bev_voxel=BEV_VOXEL,
+              bev_nx=(NX, NY, NZ), solve_x=solve_x,
+              compute_dtype=jnp.float32)
+    base = np.asarray(lss_sample_bev(
+        jnp.asarray(depth), jnp.asarray(feat), jnp.asarray(rots),
+        jnp.asarray(trans), **kw))
+    got = np.asarray(lss_sample_bev(
+        jnp.asarray(depth), jnp.asarray(feat), jnp.asarray(rots),
+        jnp.asarray(trans), b_windows=wins, **kw))
+    assert base.any()
+    np.testing.assert_array_equal(got, base)

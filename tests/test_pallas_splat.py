@@ -70,3 +70,24 @@ def test_pallas_gradients_match_einsum(rand_inputs):
                                rtol=5e-2, atol=5e-2)
     np.testing.assert_allclose(np.asarray(gd), np.asarray(gd_ref),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_pallas_windows_match_einsum(rand_inputs):
+    """Windowed pallas path (per-(solve_x, window) grouping) vs the
+    windowed einsum path."""
+    depth, feat = rand_inputs
+    # Mixed artificial windows: aligned subsets covering all valid
+    # cells is NOT required for this equality (both impls use the same
+    # windows) — exercise distinct offsets within a group.
+    wins = tuple((8, NY - 8) if sx else (0, NX - 8)
+                 for sx in SOLVE_X)
+    want = np.asarray(lss_sample_bev(depth, feat, jnp.asarray(ROTS),
+                                     jnp.asarray(TRANS), impl='einsum',
+                                     b_windows=wins, **KW))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(lss_sample_bev(depth, feat, jnp.asarray(ROTS),
+                                        jnp.asarray(TRANS),
+                                        impl='pallas', b_windows=wins,
+                                        **KW))
+    assert want.any()
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
