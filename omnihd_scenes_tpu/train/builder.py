@@ -246,25 +246,6 @@ def make_predict_fn_generic(model, mtype: str, anchors_np: np.ndarray = None,
 
         return jax.jit(_stream_one)
 
-
-def make_predict_stream_batched(model, nms_free_cfg=None):
-    """Batched (scene-parallel) BEVFormer streaming inference: one
-    dispatch serves B independent temporal streams (vmap over the
-    per-sample streaming forward)."""
-    cfg = nms_free_cfg or NMSFreeCoderCfg()
-
-    def _stream_one(params, batch_stats, imgs, can_bus, lidar2img,
-                    prev_bev, has_prev):
-        out = model.apply({'params': params, 'batch_stats': batch_stats},
-                          imgs, can_bus, lidar2img, prev_bev,
-                          has_prev, method=BEVFormerDetector.forward_stream)
-        boxes = nms_free_decode(out['all_cls_scores'][-1],
-                                out['all_bbox_preds'][-1], cfg)
-        return boxes, out['bev_embed']
-
-    return jax.jit(jax.vmap(_stream_one,
-                            in_axes=(None, None, 0, 0, 0, 0, 0)))
-
     decode_cfg = decode_cfg or DecodeCfg()
 
     @jax.jit
@@ -285,3 +266,22 @@ def make_predict_stream_batched(model, nms_free_cfg=None):
         return predict(params, batch_stats, batch, anchors_b)
 
     return predict_with_anchors
+
+
+def make_predict_stream_batched(model, nms_free_cfg=None):
+    """Batched (scene-parallel) BEVFormer streaming inference: one
+    dispatch serves B independent temporal streams (vmap over the
+    per-sample streaming forward)."""
+    cfg = nms_free_cfg or NMSFreeCoderCfg()
+
+    def _stream_one(params, batch_stats, imgs, can_bus, lidar2img,
+                    prev_bev, has_prev):
+        out = model.apply({'params': params, 'batch_stats': batch_stats},
+                          imgs, can_bus, lidar2img, prev_bev,
+                          has_prev, method=BEVFormerDetector.forward_stream)
+        boxes = nms_free_decode(out['all_cls_scores'][-1],
+                                out['all_bbox_preds'][-1], cfg)
+        return boxes, out['bev_embed']
+
+    return jax.jit(jax.vmap(_stream_one,
+                            in_axes=(None, None, 0, 0, 0, 0, 0)))

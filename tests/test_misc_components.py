@@ -116,3 +116,36 @@ class TestShellWrappers:
             path = osp.join(root, 'tools', name)
             assert osp.exists(path)
             assert module in open(path).read()
+
+
+def test_make_predict_fn_generic_returns_callable_all_families():
+    """Regression: the anchor-family branch of make_predict_fn_generic
+    was once displaced into make_predict_stream_batched as dead code,
+    making tools/test.py eval crash with a None predict fn."""
+    from omnihd_scenes_tpu.train.builder import make_predict_fn_generic
+    from omnihd_scenes_tpu.models.detectors import (PointPillars,
+                                                    PointPillarsConfig)
+
+    cfg = PointPillarsConfig(
+        point_cloud_range=(-10, -10, -3.0, 10, 10, 5.0),
+        voxel_size=(2.0, 2.0, 8.0), max_voxels=64,
+        max_points_per_voxel=4, bev_hw=(10, 10),
+        pfn_channels=(8,), second_channels=(8, 8, 8),
+        fpn_channels=(8, 8, 8))
+    model = PointPillars(cfg)
+    fn = make_predict_fn_generic(model, 'pointpillars', cfg.anchors())
+    assert callable(fn)
+
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-9, 9, (1, 64, 8)).astype(np.float32)
+    batch = {'points': pts, 'points_mask': np.ones((1, 64), bool)}
+    import jax
+
+    variables = model.init(jax.random.PRNGKey(0), pts,
+                           batch['points_mask'], train=False)
+    dets, occ = fn(variables['params'],
+                   variables.get('batch_stats', {}), batch)
+    boxes, scores, labels, valid = dets
+    assert boxes.shape[0] == 1 and occ is None
