@@ -81,6 +81,7 @@ class TestBEVFusionForward:
         assert out['bev'].shape == (1, 16, 16, TINY_LSS.outC)
         assert out['depth_logits'] is None  # CamEncode variant
 
+    @pytest.mark.slow
     def test_depth_softmax_normalized(self):
         model = BEVFusion(TINY_FUSION)
         pts, pmask, imgs, rots, trans = _inputs()

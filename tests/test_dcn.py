@@ -74,6 +74,7 @@ def test_integer_offset_shifts_taps():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradients_flow_and_resnet_dcn_trains():
     rng = np.random.RandomState(3)
     x = rng.randn(1, 16, 16, 3).astype(np.float32)

@@ -29,6 +29,7 @@ def tiny_model():
     return model, cfg, variables, (pts, mask)
 
 
+@pytest.mark.slow
 def test_export_roundtrip_matches_live(tmp_path, tiny_model):
     model, cfg, variables, inputs = tiny_model
     out = export_model(model, 'pointpillars', variables, inputs,

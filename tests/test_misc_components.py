@@ -65,6 +65,7 @@ class TestChamfer:
 
 
 class TestMMLayer:
+    @pytest.mark.slow
     def test_fusion_layer_forward(self):
         from omnihd_scenes_tpu.models.bevformer.encoder import (
             MMBEVFormerLayer, get_reference_points_2d)

@@ -183,6 +183,7 @@ def test_fused_eligibility_gate():
     assert not _fused_eligible(ok, x4, (3, 3))   # opt-in flag off
 
 
+@pytest.mark.slow
 def test_bev_encoder_end_to_end_int8():
     from omnihd_scenes_tpu.models.lss import BevEncoderConvs
 
