@@ -100,3 +100,88 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(4)
+
+
+class TestTensorParallel:
+    def _setup(self):
+        from omnihd_scenes_tpu.models.detectors import (PointPillars,
+                                                        PointPillarsConfig)
+        from omnihd_scenes_tpu.train.detection import make_loss_fn
+        from omnihd_scenes_tpu.train.loop import (create_train_state,
+                                                  make_train_step)
+        from omnihd_scenes_tpu.train.optim import (make_lr_schedule,
+                                                   make_optimizer)
+
+        cfg = PointPillarsConfig(
+            point_cloud_range=(-20, -20, -3.0, 20, 20, 5.0),
+            voxel_size=(2.0, 2.0, 8.0), max_voxels=256,
+            max_points_per_voxel=8, bev_hw=(20, 20),
+            pfn_channels=(16,), second_channels=(16, 32, 32),
+            fpn_channels=(16, 16, 16))
+        model = PointPillars(cfg)
+        rng = np.random.RandomState(3)
+        b = 4
+        batch = {
+            'points': rng.uniform(-18, 18, (b, 256, 8)).astype(np.float32),
+            'points_mask': np.ones((b, 256), bool),
+            'gt_boxes': np.tile(np.array(
+                [[3.0, 2.0, -0.5, 2.0, 4.5, 1.6, 0.3, 0, 0]], np.float32),
+                (b, 4, 1)),
+            'gt_labels': np.zeros((b, 4), np.int32),
+            'gt_mask': np.ones((b, 4), bool),
+        }
+        variables = model.init(jax.random.PRNGKey(0), batch['points'],
+                               batch['points_mask'], train=False)
+        tx = make_optimizer(make_lr_schedule(1e-3, 10, warmup_iters=2))
+        state = create_train_state(variables, tx)
+        step = make_train_step(make_loss_fn(model), tx)
+        return state, step, batch
+
+    def test_tp_dp_matches_single_device(self):
+        """GSPMD-partitioned (data x model) training step must produce
+        the same loss and parameters as the unsharded step."""
+        from omnihd_scenes_tpu.parallel.spmd import (make_tp_dp_mesh,
+                                                     shard_state_tp_dp,
+                                                     tp_spec)
+
+        state, step, batch = self._setup()
+        _, loss_ref, _ = step(jax.tree.map(jnp.copy, state),
+                              jax.tree.map(jnp.array, batch))
+        # Reference update BEFORE the tp run: the train step donates
+        # its state argument, and device_put aliases (does not copy)
+        # buffers whose sharding already matches.
+        ref_state, _, _ = step(jax.tree.map(jnp.copy, state),
+                               jax.tree.map(jnp.array, batch))
+
+        mesh = make_tp_dp_mesh(4, model=2)
+        with mesh:
+            st, bt = shard_state_tp_dp(state, batch, mesh)
+            new_state, loss_tp, aux = step(st, bt)
+        assert np.isfinite(float(loss_tp))
+        np.testing.assert_allclose(float(loss_tp), float(loss_ref),
+                                   rtol=1e-4)
+        # At least one conv kernel actually got model-sharded.
+        n_sharded = sum(
+            1 for leaf in jax.tree.leaves(new_state.params)
+            if hasattr(leaf, 'sharding')
+            and 'model' in str(leaf.sharding.spec))
+        assert n_sharded > 0
+        # Updated params match the single-device update.
+        for a, b_ in zip(jax.tree.leaves(new_state.params),
+                         jax.tree.leaves(ref_state.params)):
+            # Adam's eps-denominator amplifies last-ulp gradient
+            # reordering where nu ~ 0: tolerate 1e-3 absolute.
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=1e-3)
+
+    def test_tp_spec_rule(self):
+        from jax.sharding import PartitionSpec as P
+
+        from omnihd_scenes_tpu.parallel.spmd import tp_spec
+
+        k4 = np.zeros((3, 3, 16, 32))
+        assert tp_spec(k4, 2) == P(None, None, None, 'model')
+        assert tp_spec(np.zeros((32,)), 2) == P()        # 1-D: replicated
+        assert tp_spec(np.zeros((16, 3)), 2) == P()      # odd out dim
+        assert tp_spec(np.zeros((8, 2)), 2) == P()       # too small
+        assert tp_spec(np.zeros(()), 2) == P()
