@@ -95,6 +95,66 @@ def main_train():
     }))
 
 
+def main_bevformer():
+    """--bevformer: temporal camera-only flagship (BEVFormer-T R50 at
+    production scale) streaming inference throughput.  One scene
+    stream: per frame the model consumes the previous BEV (history
+    replay) and emits 300 NMS-free detections; N frames are chained
+    inside one jit through the recurrent bev state (a real temporal
+    data dependency, exactly the deployment access pattern)."""
+    import jax
+    import jax.numpy as jnp
+
+    from omnihd_scenes_tpu.models.bbox_coder import NMSFreeCoderCfg
+    from omnihd_scenes_tpu.models.bevformer.detector import (
+        BEVFormerConfig, BEVFormerDetector)
+    from omnihd_scenes_tpu.train.builder import make_predict_fn_generic
+
+    cfg = BEVFormerConfig()          # production scale (R50, 160x240 BEV)
+    model = BEVFormerDetector(cfg)
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(cfg.num_cams, *cfg.img_hw, 3).astype(np.float32)
+    can_bus = np.zeros((18,), np.float32)
+    l2i = np.tile(np.eye(4, dtype=np.float32), (cfg.num_cams, 1, 1))
+    bev_shape = (cfg.bev_h * cfg.bev_w, cfg.embed_dims)
+    prev_bev = np.zeros(bev_shape, np.float32)
+
+    variables = model.init(jax.random.PRNGKey(0), imgs, can_bus, l2i,
+                           prev_bev, np.asarray(False),
+                           method=BEVFormerDetector.forward_stream)
+    predict = make_predict_fn_generic(model, 'bevformer')
+
+    def to_bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, 'dtype') and x.dtype == np.float32 else x, tree)
+
+    params = jax.device_put(to_bf16(variables['params']))
+    stats = jax.device_put(to_bf16(variables.get('batch_stats', {})))
+    dev = jax.device_put(to_bf16((imgs, can_bus, l2i, prev_bev)))
+
+    @jax.jit
+    def bench_loop(p, s, im, cb, li, bev0):
+        def body(i, bev):
+            boxes, new_bev = predict(p, s, im, cb, li, bev,
+                                     jnp.asarray(True))
+            return new_bev.astype(bev.dtype)
+        bev = jax.lax.fori_loop(0, N_ITERS, body, bev0)
+        return bev.ravel()[0].astype(jnp.float32)
+
+    float(bench_loop(params, stats, *dev))   # compile
+    t0 = time.perf_counter()
+    float(bench_loop(params, stats, *dev))
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        'metric': 'bevformer_t_stream_infer_samples_per_sec',
+        'value': round(N_ITERS / dt, 2),
+        'unit': 'samples/sec/chip',
+        'vs_baseline': None,
+    }))
+
+
 def main(int8: bool = False, batch: int = 1):
     import jax
     import jax.numpy as jnp
@@ -194,6 +254,8 @@ def main(int8: bool = False, batch: int = 1):
 if __name__ == '__main__':
     if '--train' in sys.argv:
         main_train()
+    elif '--bevformer' in sys.argv:
+        main_bevformer()
     else:
         b = 4                  # serving batch (b=8 exceeds HBM;
         #                          b=1 latency mode via --batch 1)

@@ -53,7 +53,8 @@ def bilinear_sample(value: jnp.ndarray, loc_xy: jnp.ndarray) -> jnp.ndarray:
 def multi_scale_deformable_attn(value: jnp.ndarray,
                                 spatial_shapes: Sequence[Tuple[int, int]],
                                 sampling_locations: jnp.ndarray,
-                                attention_weights: jnp.ndarray) -> jnp.ndarray:
+                                attention_weights: jnp.ndarray,
+                                query_chunk: int = None) -> jnp.ndarray:
     """Deformable attention for one sample (vmap over batch).
 
     Args:
@@ -62,12 +63,37 @@ def multi_scale_deformable_attn(value: jnp.ndarray,
         sampling_locations: (num_query, num_heads, num_levels, num_points,
             2) normalized to [0, 1].
         attention_weights: (num_query, num_heads, num_levels, num_points).
+        query_chunk: process queries in sequential chunks of this size
+            (``lax.map``) to bound the materialized gather output —
+            at production BEV scale (38400 queries x 8 heads x 8 points
+            x 32 dims, per camera, doubled by autodiff) the unchunked
+            intermediates exceed HBM.  None = auto: chunk only when the
+            per-level tap tensor would exceed ~64M elements.
 
     Returns:
         (num_query, num_heads * head_dim).
     """
     nq, nh, nl, np_, _ = sampling_locations.shape
     head_dim = value.shape[-1]
+
+    if query_chunk is None:
+        per_q = nh * np_ * head_dim
+        query_chunk = max(1024, int(64e6) // max(per_q, 1))
+    if nq > query_chunk:
+        n_chunks = -(-nq // query_chunk)
+        pad = n_chunks * query_chunk - nq
+        loc_c = jnp.pad(sampling_locations,
+                        ((0, pad),) + ((0, 0),) * 4).reshape(
+            n_chunks, query_chunk, nh, nl, np_, 2)
+        wgt_c = jnp.pad(attention_weights,
+                        ((0, pad),) + ((0, 0),) * 3).reshape(
+            n_chunks, query_chunk, nh, nl, np_)
+        out = jax.lax.map(
+            lambda lw: multi_scale_deformable_attn(
+                value, spatial_shapes, lw[0], lw[1],
+                query_chunk=query_chunk),
+            (loc_c, wgt_c))
+        return out.reshape(n_chunks * query_chunk, nh * head_dim)[:nq]
 
     out = jnp.zeros((nq, nh, head_dim), value.dtype)
     offset = 0

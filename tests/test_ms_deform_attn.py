@@ -85,3 +85,24 @@ class TestMSDeformAttn:
                 v, ((4, 4),), l, weights) ** 2), argnums=(0, 1))(value, locs)
         assert float(jnp.abs(g_v).sum()) > 0
         assert float(jnp.abs(g_l).sum()) > 0  # grads through locations
+
+
+def test_query_chunking_matches_unchunked():
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    h, w, nh, d = 6, 8, 2, 4
+    nq, nl, npt = 50, 1, 3
+    value = jnp.asarray(rng.randn(h * w, nh, d).astype(np.float32))
+    loc = jnp.asarray(rng.rand(nq, nh, nl, npt, 2).astype(np.float32))
+    wgt = jnp.asarray(rng.rand(nq, nh, nl, npt).astype(np.float32))
+    full = multi_scale_deformable_attn(value, [(h, w)], loc, wgt,
+                                       query_chunk=nq + 1)
+    chunked = multi_scale_deformable_attn(value, [(h, w)], loc, wgt,
+                                          query_chunk=16)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               rtol=1e-6, atol=1e-6)
+    # gradients flow through the chunked path too
+    g = jax.grad(lambda v: jnp.sum(multi_scale_deformable_attn(
+        v, [(h, w)], loc, wgt, query_chunk=16) ** 2))(value)
+    assert float(jnp.abs(g).sum()) > 0
