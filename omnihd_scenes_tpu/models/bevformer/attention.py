@@ -198,12 +198,20 @@ class SpatialCrossAttention(nn.Module):
             self.embed_dims, self.num_heads, self.num_levels,
             self.num_points, name='deformable_attention')
 
-        # vmap over cameras; queries are shared.
-        per_cam = nn.vmap(
-            lambda m, v, r: m(query, v, r, spatial_shapes),
-            in_axes=(0, 0), out_axes=0,
-            variable_axes={'params': None}, split_rngs={'params': False},
-        )(inner, cam_values, reference_points_cam)     # (num_cam, nq, C)
+        # Sequential scan over cameras (shared params).  A vmap here
+        # keeps all six cameras' deformable-attention gather outputs
+        # live at once — at production BEV scale that alone exceeds
+        # HBM (measured 26+ GB); the per-camera work is large enough
+        # to fill the chip, so serializing costs ~nothing.
+        def one_cam(m, carry, xs):
+            v, r = xs
+            return carry, m(query, v, r, spatial_shapes)
+
+        _, per_cam = nn.scan(
+            one_cam, variable_broadcast='params',
+            split_rngs={'params': False}, in_axes=0, out_axes=0,
+        )(inner, None, (cam_values, reference_points_cam))
+        # per_cam: (num_cam, nq, C)
 
         hit = jnp.any(bev_mask, axis=-1)               # (num_cam, nq)
         slots = jnp.sum(per_cam * hit[..., None], axis=0)

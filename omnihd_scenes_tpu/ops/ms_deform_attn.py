@@ -29,25 +29,42 @@ def bilinear_sample(value: jnp.ndarray, loc_xy: jnp.ndarray) -> jnp.ndarray:
     loc_xy: (..., 2) in *pixel* units where (0, 0) is the center of the
     top-left texel (grid_sample align_corners=False after the
     ``loc * size - 0.5`` shift).  OOB taps contribute zero.
+
+    TPU formulation: ONE (2, 2, C) patch gather per location (a
+    vmapped dynamic_slice — XLA lowers to a gather with slice_sizes
+    (2,2,C), 4x fewer gather rows than four per-tap gathers, and the
+    minor dims stay contiguous), with per-cell weights from the tent
+    formula ``relu(1-|x-X|) * relu(1-|y-Y|)`` evaluated at the
+    patch's absolute coordinates — exactly the bilinear weights, and
+    original out-of-bounds taps get weight 0 automatically.
     """
     h, w, c = value.shape
+    if h < 2 or w < 2:
+        value = jnp.pad(value, ((0, max(0, 2 - h)), (0, max(0, 2 - w)),
+                                (0, 0)))
+        h, w = max(h, 2), max(w, 2)
+        # zero padding preserves grid_sample zero-OOB semantics; the
+        # tent weights for the padded cells are multiplied by real
+        # zeros only when the location's support reaches them.
     x, y = loc_xy[..., 0], loc_xy[..., 1]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx1 = x - x0
-    wy1 = y - y0
-    wx0 = 1.0 - wx1
-    wy0 = 1.0 - wy1
+    # Patch anchor, clipped so the (2, 2) slice stays in bounds.  All
+    # in-bounds taps of the true support remain covered (see tent
+    # weights); pure-OOB locations get all-zero weights.
+    ys = jnp.clip(jnp.floor(y), 0, max(h - 2, 0)).astype(jnp.int32)
+    xs = jnp.clip(jnp.floor(x), 0, max(w - 2, 0)).astype(jnp.int32)
 
-    def tap(xi, yi, wgt):
-        ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        v = value[yi, xi]
-        return v * (wgt * ok)[..., None]
+    flat = jnp.stack([ys.ravel(), xs.ravel()], axis=-1)
+    patches = jax.vmap(
+        lambda yx: jax.lax.dynamic_slice(value, (yx[0], yx[1], 0),
+                                         (2, 2, c)))(flat)
+    patches = patches.reshape(x.shape + (2, 2, c))
 
-    return (tap(x0, y0, wx0 * wy0) + tap(x0 + 1, y0, wx1 * wy0)
-            + tap(x0, y0 + 1, wx0 * wy1) + tap(x0 + 1, y0 + 1, wx1 * wy1))
+    dx = x[..., None] - (xs[..., None] + jnp.arange(2))     # (..., 2)
+    dy = y[..., None] - (ys[..., None] + jnp.arange(2))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
+    wcell = wy[..., :, None] * wx[..., None, :]             # (..., 2, 2)
+    return jnp.sum(patches * wcell[..., None], axis=(-3, -2))
 
 
 def multi_scale_deformable_attn(value: jnp.ndarray,
@@ -77,8 +94,10 @@ def multi_scale_deformable_attn(value: jnp.ndarray,
     head_dim = value.shape[-1]
 
     if query_chunk is None:
+        # Bound each materialized tap tensor to ~16M elements (64 MB
+        # f32 unpadded; lane padding for small head_dim can expand 4x).
         per_q = nh * np_ * head_dim
-        query_chunk = max(1024, int(64e6) // max(per_q, 1))
+        query_chunk = max(1024, int(16e6) // max(per_q, 1))
     if nq > query_chunk:
         n_chunks = -(-nq // query_chunk)
         pad = n_chunks * query_chunk - nq
