@@ -97,7 +97,7 @@ def multi_scale_deformable_attn(value: jnp.ndarray,
         # Bound each materialized tap tensor to ~16M elements (64 MB
         # f32 unpadded; lane padding for small head_dim can expand 4x).
         per_q = nh * np_ * head_dim
-        query_chunk = max(1024, int(16e6) // max(per_q, 1))
+        query_chunk = max(256, int(16e6) // max(per_q, 1))
     if nq > query_chunk:
         n_chunks = -(-nq // query_chunk)
         pad = n_chunks * query_chunk - nq

@@ -86,7 +86,16 @@ def export_model(model, mtype: str, variables, example_inputs,
     from omnihd_scenes_tpu.train.builder import _model_inputs
 
     if isinstance(example_inputs, dict):
-        example_inputs = _model_inputs(example_inputs, mtype, False)
+        # _model_inputs returns a kwarg dict; order it by the model's
+        # positional __call__ signature.
+        import inspect
+
+        kw = _model_inputs(example_inputs, mtype, False)
+        order = [p for p in inspect.signature(
+            type(model).__call__).parameters
+            if p in kw]
+        assert set(order) == set(kw), (order, sorted(kw))
+        example_inputs = tuple(kw[k] for k in order)
     example_inputs = tuple(example_inputs)
 
     variables = {'params': variables['params'],
@@ -114,6 +123,10 @@ def export_model(model, mtype: str, variables, example_inputs,
             out['bbox_pred'].astype(jnp.float32),
             out['dir_pred'].astype(jnp.float32),
             anchors_b.astype(jnp.float32))
+        if isinstance(out, dict) and 'occ_logits' in out:
+            # MTL: ship the occupancy prediction alongside detections,
+            # matching the live predict path (train/builder.py).
+            return dets + (jnp.argmax(out['occ_logits'], axis=-1),)
         return dets
 
     import jax.numpy as jnp

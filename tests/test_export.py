@@ -73,3 +73,18 @@ def test_export_bundle_is_self_contained(tmp_path, tiny_model):
     boxes, scores, labels, valid = loaded(*inputs)
     assert boxes.shape[0] == 1 and np.isfinite(
         np.asarray(scores, np.float32)).all()
+
+
+def test_export_dict_batch_path(tmp_path, tiny_model):
+    """The documented loaders-dict input form must export identically
+    to the positional form (regression: it used to crash)."""
+    model, cfg, variables, inputs = tiny_model
+    batch = {'points': inputs[0], 'points_mask': inputs[1]}
+    out = export_model(model, 'pointpillars', variables, batch,
+                       str(tmp_path / 'bundle_dict'),
+                       anchors_np=cfg.anchors(), bf16=False)
+    loaded = load_exported(out)
+    got = loaded(*inputs)
+    boxes, scores, labels, valid = got
+    assert boxes.shape[0] == 1 and np.isfinite(
+        np.asarray(scores, np.float32)).all()
