@@ -151,10 +151,18 @@ def crop_resize_flip_images(imgs: np.ndarray,
 
     new_w, new_h = resize_dims
     x0, y0, x1, y1 = crop
+    # Per-axis scales from the ACTUAL output dims: int() truncation in
+    # resize_dims makes the true x-scale differ from the nominal
+    # `resize` by up to ~1%, and cv2.resize scales to new_w exactly —
+    # using `resize` for x would leave lidar2img up to ~1 px off at
+    # the right image edge.
+    sx = new_w / (x1 - x0)
+    sy = new_h / (y1 - y0)
     ida = np.eye(3, dtype=np.float64)
-    ida[0, 0] = ida[1, 1] = resize
-    ida[0, 2] = -x0 * resize
-    ida[1, 2] = -y0 * resize
+    ida[0, 0] = sx
+    ida[1, 1] = sy
+    ida[0, 2] = -x0 * sx
+    ida[1, 2] = -y0 * sy
     if flip:
         ida = np.array([[-1, 0, new_w - 1], [0, 1, 0], [0, 0, 1]],
                        np.float64) @ ida

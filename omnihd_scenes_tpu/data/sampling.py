@@ -54,6 +54,11 @@ class _Wrapper:
         self.dataset = dataset
 
     def __getattr__(self, name):
+        # Guard against pickling-time lookups before __init__ ran
+        # (spawn workers unpickle the wrapper; unconditional delegation
+        # recurses forever on the missing 'dataset').
+        if name.startswith('__') or 'dataset' not in self.__dict__:
+            raise AttributeError(name)
         return getattr(self.dataset, name)
 
 
@@ -80,6 +85,8 @@ class ConcatDataset:
         self._offsets = np.cumsum([len(d) for d in self.datasets])
 
     def __getattr__(self, name):
+        if name.startswith('__') or 'datasets' not in self.__dict__:
+            raise AttributeError(name)
         return getattr(self.datasets[0], name)
 
     def __len__(self):
@@ -170,6 +177,9 @@ def wrap_dataset(dataset, wrapper: Optional[Dict] = None):
     ``custom_build_dataset`` dispatch)."""
     if not wrapper:
         return dataset
+    if isinstance(wrapper, str):
+        # --cfg-options data.train.wrapper=CBGSDataset shorthand
+        wrapper = {'type': wrapper}
     kind = wrapper.get('type')
     if kind == 'RepeatDataset':
         return RepeatDataset(dataset, int(wrapper.get('times', 1)))

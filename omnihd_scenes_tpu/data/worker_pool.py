@@ -23,16 +23,27 @@ from typing import Dict, Iterable, Iterator, Optional
 import numpy as np
 
 
-def _worker_main(dataset, task_q, result_q):
+def _worker_main(dataset, worker_id, task_q, result_q):
+    # Decorrelate augmentation RNG per worker: all spawn workers
+    # receive the same pickled dataset state (same RandomState), which
+    # would give every worker an identical augmentation-parameter
+    # stream (the classic fork-seed bug the reference avoids with
+    # worker_init_fn seeding).
+    if hasattr(dataset, 'rng') and isinstance(dataset.rng,
+                                              np.random.RandomState):
+        base = dataset.rng.randint(0, 2 ** 31 - 1)
+        dataset.rng = np.random.RandomState(base + worker_id)
+    np.random.seed((np.random.randint(0, 2 ** 31 - 1) + worker_id)
+                   % (2 ** 31 - 1))
     while True:
         item = task_q.get()
         if item is None:
             return
-        seq, idx = item
+        gen, seq, idx = item
         try:
-            result_q.put((seq, dataset[int(idx)], None))
+            result_q.put((gen, seq, dataset[int(idx)], None))
         except BaseException as e:  # surface in the parent
-            result_q.put((seq, None, f'{type(e).__name__}: {e}'))
+            result_q.put((gen, seq, None, f'{type(e).__name__}: {e}'))
 
 
 class WorkerPool:
@@ -44,16 +55,24 @@ class WorkerPool:
         self._task_q = ctx.Queue()
         self._result_q = ctx.Queue()
         self._window = max(window, 2 * num_workers)
+        self._gen = 0
         self._procs = [
             ctx.Process(target=_worker_main,
-                        args=(dataset, self._task_q, self._result_q),
+                        args=(dataset, wid, self._task_q, self._result_q),
                         daemon=True)
-            for _ in range(num_workers)]
+            for wid in range(num_workers)]
         for p in self._procs:
             p.start()
 
     def imap(self, indices: Iterable[int]) -> Iterator:
-        """Yield ``dataset[i]`` for each i, in order."""
+        """Yield ``dataset[i]`` for each i, in order.
+
+        Each call starts a new generation: results of an abandoned or
+        failed earlier iteration still in flight are discarded by tag
+        instead of being misdelivered into the new epoch.
+        """
+        self._gen += 1
+        gen = self._gen
         it = iter(indices)
         pending: Dict[int, object] = {}
         submitted = 0
@@ -66,12 +85,14 @@ class WorkerPool:
                 except StopIteration:
                     exhausted = True
                     break
-                self._task_q.put((submitted, int(idx)))
+                self._task_q.put((gen, submitted, int(idx)))
                 submitted += 1
             if consumed == submitted and exhausted:
                 return
             while consumed not in pending:
-                seq, sample, err = self._result_q.get()
+                rgen, seq, sample, err = self._result_q.get()
+                if rgen != gen:
+                    continue                  # stale: prior iteration
                 if err is not None:
                     raise RuntimeError(f'data worker failed: {err}')
                 pending[seq] = sample

@@ -51,9 +51,15 @@ class DeformConv(nn.Module):
             padding=[(k // 2, k // 2)] * 2,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros, name='conv_offset')(x)
-        # mmcv channel layout: [off_y (KK), off_x (KK), mask (KK)].
-        off_y = off_mask[..., :kk]
-        off_x = off_mask[..., kk:2 * kk]
+        # mmcv channel layout: ModulatedDeformConv2dPack chunks the
+        # raw conv_offset output into (o1, o2, mask) and feeds
+        # offset=cat(o1, o2) to a kernel that reads channel 2k as tap
+        # k's y-offset and 2k+1 as its x-offset — i.e. the RAW layout
+        # is interleaved (dy0, dx0, dy1, dx1, ..., mask0..KK).  Match
+        # it exactly so imported reference .pth offsets land on the
+        # right taps.
+        off_y = off_mask[..., 0:2 * kk:2]
+        off_x = off_mask[..., 1:2 * kk:2]
         mask = jax.nn.sigmoid(off_mask[..., 2 * kk:])
 
         kernel = self.param(

@@ -72,7 +72,8 @@ def _solve_jvp(primals, tangents):
     return out, zero
 
 
-def _solve_auction(cost: jnp.ndarray, eps: float = 1e-3,
+def _solve_auction(cost: jnp.ndarray, valid: jnp.ndarray = None,
+                   eps: float = 1e-3,
                    max_iters: int = 512) -> jnp.ndarray:
     """Jittable assignment via Bertsekas' auction algorithm.
 
@@ -84,26 +85,35 @@ def _solve_auction(cost: jnp.ndarray, eps: float = 1e-3,
 
     Args:
         cost: (num_query, num_gt) float32, num_gt <= num_query.
+        valid: (num_gt,) bool — padded GTs (False) do not bid and are
+            never required for termination.  Their downstream
+            assignments are masked anyway, and letting them bid
+            livelocks: their uniform ~1e8 costs swallow the eps price
+            increments in float32, so they contest the same query
+            forever and burn max_iters every call.
 
     Returns:
-        (num_gt,) int32 matched query per GT (distinct; -1 only if the
-        iteration cap is hit, which masks that GT's loss downstream).
+        (num_gt,) int32 matched query per GT (distinct for valid GTs;
+        -1 for padded GTs or if the iteration cap is hit, which masks
+        that GT's loss downstream).
     """
     nq, ng = cost.shape
+    if valid is None:
+        valid = jnp.ones((ng,), bool)
     # GTs bid for queries: value[g, q] = -cost (maximization form).
     value = -cost.T
-    # Deterministic micro-tilt breaks ties (uniform padded-GT rows
-    # would otherwise all bid the same query, one resolution per step).
+    # Deterministic micro-tilt breaks exact ties between real rows.
     g_ids = jnp.arange(ng, dtype=jnp.int32)[:, None]
     q_ids = jnp.arange(nq, dtype=jnp.int32)[None, :]
     value = value + 1e-6 * ((g_ids * 31 + q_ids * 17) % 64).astype(
         value.dtype)
+    n_need = valid.sum()
 
     def cond(state):
         owner, prices, it = state
         # A GT owns at most one query, so owned-query count equals
         # assigned-GT count.
-        return (it < max_iters) & ((owner >= 0).sum() < ng)
+        return (it < max_iters) & ((owner >= 0).sum() < n_need)
 
     def body(state):
         owner, prices, it = state
@@ -114,7 +124,7 @@ def _solve_auction(cost: jnp.ndarray, eps: float = 1e-3,
         top2 = jax.lax.top_k(net, 2)[0]
         best_q = jnp.argmax(net, axis=1)                 # (ng,)
         bid = top2[:, 0] - top2[:, 1] + eps
-        bidding = ~assigned
+        bidding = ~assigned & valid
         # Dense per-query bid matrix (ng x nq is small).
         bids = jnp.where(
             bidding[:, None] & (best_q[:, None] == q_ids),
@@ -165,7 +175,7 @@ def hungarian_match(cls_logits: jnp.ndarray,
     if solver == 'auto':
         solver = 'scipy' if jax.default_backend() == 'cpu' else 'auction'
     if solver == 'auction':
-        matched = _solve_auction(jax.lax.stop_gradient(cost))
+        matched = _solve_auction(jax.lax.stop_gradient(cost), gt_mask)
     else:
         matched = _solve(jax.lax.stop_gradient(cost))
 

@@ -94,7 +94,10 @@ def _pass2_kernel(j_ref, kd_ref, i_ref, out_ref, *, f_h, c_f, tb):
         taps = jnp.dot(onehot, i_ref[0, 0, :, b, :],
                        preferred_element_type=jnp.float32)    # (NG, M)
         kd = kd_ref[0, 0, b, :]
-        w = jnp.sum(jnp.where(lane_d == kd[:, None], taps, 0.0), axis=-1)
+        # Guard kd=-1 (invalid depth): lane c_f-1 has lane_d == -1 and
+        # would otherwise select a FEATURE value as the depth weight.
+        sel = (lane_d == kd[:, None]) & (kd[:, None] >= 0)
+        w = jnp.sum(jnp.where(sel, taps, 0.0), axis=-1)
         out_ref[0, b] += (taps * w[:, None]).astype(out_ref.dtype)
 
 

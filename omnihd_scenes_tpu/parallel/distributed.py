@@ -82,7 +82,14 @@ def collect_results(local_results: List[Dict[str, np.ndarray]],
         _allgather(np.asarray([len(local_results)], np.int64))
     ).reshape(process_count)
     max_n = int(counts.max())
-    assert local_results, 'every host must evaluate at least one sample'
+    if counts.min() == 0:
+        # Raise on EVERY host (counts are identical everywhere): a
+        # one-host assert before the payload allgather would leave the
+        # other hosts blocked in the collective forever.
+        raise RuntimeError(
+            f'collect_results: some host holds zero results '
+            f'(counts={counts.tolist()}); shard the eval set so every '
+            'host gets at least one sample')
     keys = sorted(local_results[0].keys())
     gathered = _allgather(_pad_local(local_results, keys, max_n))
     out: List[Dict] = []

@@ -69,8 +69,20 @@ def main():
     mesh = make_mesh()
 
     train_ds, val_ds = build_datasets(cfg)
+    # Optional dataset wrapper (reference custom_build_dataset:
+    # CBGSDataset / ClassBalancedDataset / RepeatDataset via
+    # ``data.train.wrapper = dict(type=...)``).
+    from omnihd_scenes_tpu.data.sampling import wrap_dataset
+
+    train_ds = wrap_dataset(train_ds, cfg.data.train.get('wrapper'))
     batch_size = cfg.data.samples_per_device * jax.device_count()
-    train_loader = TrainLoader(train_ds, batch_size, seed=args.seed)
+    train_loader = TrainLoader(
+        train_ds, batch_size, seed=args.seed,
+        # reference workers_per_gpu: spawn-process sample preparation
+        num_workers=int(cfg.data.get('workers_per_device',
+                                     cfg.data.get('workers_per_gpu', 0))),
+        # group-pure batches when the dataset exposes group flags
+        group_flags=getattr(train_ds, 'group_flags', None))
 
     model, mtype = build_model_from_cfg(cfg)
     variables = init_model(model, mtype, train_ds[0],

@@ -34,6 +34,7 @@ def build_model(cfg) -> PointPillars:
 
 def build_dataset_single(ds_cfg, dataset_type: str = 'det'):
     kwargs = ds_cfg.to_dict() if hasattr(ds_cfg, 'to_dict') else dict(ds_cfg)
+    kwargs.pop('wrapper', None)    # consumed by the caller (sampling.wrap_dataset)
     if dataset_type == 'temporal':
         from omnihd_scenes_tpu.data.temporal_dataset import (
             TemporalNewScenesDataset)

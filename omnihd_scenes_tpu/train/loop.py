@@ -181,6 +181,13 @@ def run_training(state: TrainState,
                     rec.update({k: float(v) for k, v in aux.items()})
                     logger.log(rec)
                     t0 = time.time()
+        # Epoch-end guard: a NaN arising AFTER the last log-interval
+        # readback must not reach the checkpoint (rotation could evict
+        # the last good one).
+        loss_v = float(loss)
+        if not np.isfinite(loss_v):
+            raise FloatingPointError(
+                f'non-finite loss at end of epoch {epoch}')
         if ckpt_dir and ((epoch + 1) % ckpt_interval == 0):
             save_checkpoint(ckpt_dir, state, epoch + 1)
         if eval_fn and ((epoch + 1) % eval_interval == 0):

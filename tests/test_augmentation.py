@@ -118,9 +118,11 @@ class TestCropResizeFlip:
             p = np.array([8.0, 0.3, -0.2])     # in front of the camera
             u0, v0 = self._project(l2i[0], p)
             u1, v1 = self._project(out_l2i[0], p)
-            # Expected pixel motion: crop/resize then optional flip.
-            ue = (u0 - crop[0]) * resize
-            ve = (v0 - crop[1]) * resize
+            # Expected pixel motion per axis from the ACTUAL output
+            # dims (cv2.resize scales to new_w exactly; int()
+            # truncation makes that differ from the nominal `resize`).
+            ue = (u0 - crop[0]) * (dims[0] / (crop[2] - crop[0]))
+            ve = (v0 - crop[1]) * (dims[1] / (crop[3] - crop[1]))
             if flip:
                 ue = (dims[0] - 1) - ue
             np.testing.assert_allclose([u1, v1], [ue, ve], atol=1e-4)

@@ -184,6 +184,25 @@ class TestAuctionSolver:
             mine = cost[got, np.arange(ng)].sum()
             assert mine <= opt + ng * 2e-3 + 1e-4, (mine, opt)
 
+    def test_padded_gts_converge_fast(self):
+        # Regression: padded-GT rows (uniform 1e8 costs) used to bid
+        # the same query forever — f32 swallows the eps price bumps at
+        # that magnitude — burning max_iters on every call.  With
+        # padded GTs excluded from bidding, convergence is quick even
+        # under a tight iteration cap.
+        from omnihd_scenes_tpu.models.hungarian import _solve_auction
+
+        rng = np.random.RandomState(2)
+        nq, ng = 60, 16
+        cost = np.full((nq, ng), 1e8, np.float32)
+        cost[:, :5] = rng.rand(nq, 5) * 4.0          # 5 valid GTs
+        valid = jnp.asarray(np.arange(ng) < 5)
+        got = np.asarray(jax.jit(_solve_auction, static_argnums=())(
+            jnp.asarray(cost), valid, 1e-3, 60))     # tight cap
+        assert (got[:5] >= 0).all(), got
+        assert len(set(got[:5].tolist())) == 5
+        assert (got[5:] == -1).all()
+
     def test_padded_gts_and_jit(self):
         from omnihd_scenes_tpu.models.hungarian import hungarian_match
 

@@ -54,9 +54,10 @@ def test_integer_offset_shifts_taps():
     m = DeformConv(3)
     v = m.init(jax.random.PRNGKey(0), x)
     params = jax.tree.map(np.asarray, v['params'])
-    # conv_offset output channels: [off_y(9), off_x(9), mask(9)].
+    # conv_offset raw channels (mmcv interleave): dy0,dx0,dy1,dx1,...
+    # then mask(9).
     bias = np.zeros(27, np.float32)
-    bias[9:18] = 1.0          # off_x = +1
+    bias[1:18:2] = 1.0        # off_x = +1 on every tap
     bias[18:] = 40.0          # sigmoid -> 1.0
     params['conv_offset']['bias'] = bias
     got = np.asarray(m.apply({'params': params}, x))

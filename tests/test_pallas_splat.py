@@ -91,3 +91,28 @@ def test_pallas_windows_match_einsum(rand_inputs):
                                         **KW))
     assert want.any()
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_invalid_depth_bin_guard(rand_inputs):
+    """depth_range with dd < d0 produces kd_star = -1 cells (depth in
+    (d_floor, d0)); the kernel's lane select must treat them as zero
+    weight exactly like the einsum path (regression: lane c_f-1 has
+    lane_d == -1 and used to match)."""
+    depth, _ = rand_inputs
+    # c_ch must be a multiple of 64 so lane c_f-1 is a REAL feature
+    # channel (with pad channels the bad select reads zeros anyway).
+    rng = np.random.RandomState(13)
+    feat = jnp.asarray(rng.randn(6, FH, FW, 64).astype(np.float32))
+    kw = dict(KW)
+    kw['depth_range'] = (2.0, 8.0, 0.5)      # d_floor=1.0 < d0=2.0
+    want = np.asarray(lss_sample_bev(depth[..., :12], feat,
+                                     jnp.asarray(ROTS),
+                                     jnp.asarray(TRANS), impl='einsum',
+                                     **kw))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(lss_sample_bev(depth[..., :12], feat,
+                                        jnp.asarray(ROTS),
+                                        jnp.asarray(TRANS),
+                                        impl='pallas', **kw))
+    assert want.any()
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)

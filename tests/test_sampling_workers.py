@@ -121,3 +121,51 @@ def test_group_flags_in_loader():
         seen.extend(idxs.tolist())
     assert set(seen) == set(range(10))
     assert len(loader) == 5
+
+
+def test_worker_pool_discards_stale_generation():
+    """Abandoning an iteration mid-way must not leak its in-flight
+    results into the next iteration (regression: seq collisions
+    silently delivered wrong samples)."""
+    from omnihd_scenes_tpu.data.worker_pool import WorkerPool
+
+    ds = ToyDataset(32)
+    pool = WorkerPool(ds, num_workers=2, window=8)
+    try:
+        it = pool.imap(range(32))
+        for _ in range(3):                 # consume a few, abandon rest
+            next(it)
+        del it
+        got = [s['idx'][()] if hasattr(s['idx'], 'shape') else s['idx']
+               for s in pool.imap(range(16, 24))]
+        assert [int(g) for g in got] == list(range(16, 24))
+    finally:
+        pool.close()
+
+
+def test_worker_pool_decorrelates_rng():
+    from omnihd_scenes_tpu.data.worker_pool import WorkerPool
+
+    ds = RngDataset()
+    pool = WorkerPool(ds, num_workers=2, window=4)
+    try:
+        vals = list(pool.imap(range(8)))
+    finally:
+        pool.close()
+    # With 2 workers sharing one pickled RandomState the two draw
+    # streams would be identical; distinct per-worker seeds make the
+    # full multiset of draws distinct with overwhelming probability.
+    assert len({round(float(v), 9) for v in vals}) == len(vals)
+
+
+class RngDataset:
+    """Module-level so spawn workers can unpickle it."""
+
+    def __init__(self):
+        self.rng = np.random.RandomState(0)
+
+    def __len__(self):
+        return 100
+
+    def __getitem__(self, idx):
+        return self.rng.rand()
