@@ -24,6 +24,11 @@ def parse_args():
                    help='run the devkit detection eval')
     p.add_argument('--format-only', action='store_true')
     p.add_argument('--out-dir')
+    p.add_argument('--int8', action='store_true',
+                   help='evaluate the int8 PTQ deployment tier: '
+                        'calibrate activation ranges on the first '
+                        'val batches, freeze int8 weights, then run '
+                        'the quantized graph (models/quant.py)')
     p.add_argument('--bad-conditions', action='store_true',
                    help='evaluate only rainy/night scenes')
     p.add_argument('--cfg-options', nargs='+')
@@ -76,6 +81,38 @@ def main():
     state = load_checkpoint(args.checkpoint, state)
 
     anchors_np = anchors_for(model, mtype)
+
+    quant_vars = None
+    if args.int8:
+        from omnihd_scenes_tpu.models import quant
+        from omnihd_scenes_tpu.train.builder import _model_inputs as _mi
+
+        def _apply_mutable(variables):
+            fn = jax.jit(lambda v, kw: model.apply(
+                v, train=False, mutable=['quant'], **kw)[1])
+            muts = variables.get('quant', {})
+            for i in range(min(4, len(dataset))):       # calib batches
+                sample = dataset[i]
+                batch = {k: v[None] for k, v in sample.items()
+                         if hasattr(v, 'shape')}
+                v = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+                if muts:
+                    v['quant'] = muts
+                muts = jax.device_get(fn(v, _mi(batch, mtype, False))
+                                      )['quant']
+                if quant.get_mode() == 'freeze':
+                    break                               # one pass enough
+            return muts
+        quant.set_mode('calib')
+        muts = _apply_mutable({})
+        quant.set_mode('freeze')
+        muts = _apply_mutable({'quant': muts})
+        quant_vars = {'quant': muts}
+        quant.set_mode('int8')
+        print(f'int8 tier: calibrated {len(jax.tree.leaves(muts))} '
+              'quant variables')
+
     if mtype == 'bevformer':
         stream_batch = int(cfg.data.get('samples_per_device', 1) or 1)
         if stream_batch > 1:
@@ -93,7 +130,8 @@ def main():
                                                    dataset, bev_shape)
         outputs = {'bbox_results': bbox_results, 'occ_results': None}
     else:
-        predict_fn = make_predict_fn_generic(model, mtype, anchors_np)
+        predict_fn = make_predict_fn_generic(
+            model, mtype, anchors_np, extra_variables=quant_vars)
         outputs = run_inference_generic(predict_fn, state, dataset,
                                         cfg.data.samples_per_device, mtype)
 

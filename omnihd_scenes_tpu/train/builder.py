@@ -229,15 +229,22 @@ def make_loss_fn_generic(model, mtype: str, anchors_np: np.ndarray = None,
 
 def make_predict_fn_generic(model, mtype: str, anchors_np: np.ndarray = None,
                             decode_cfg: DecodeCfg = None,
-                            nms_free_cfg: NMSFreeCoderCfg = None):
+                            nms_free_cfg: NMSFreeCoderCfg = None,
+                            extra_variables: dict = None):
     """Build inference fn returning padded (boxes, scores, labels, valid)
-    (+ occ argmax for MTL)."""
+    (+ occ argmax for MTL).
+
+    ``extra_variables``: additional variable collections merged into
+    every apply (e.g. the ``quant`` collection for the int8 tier).
+    """
+    extra = extra_variables or {}
     if mtype == 'bevformer':
         cfg = nms_free_cfg or NMSFreeCoderCfg()
 
         def _stream_one(params, batch_stats, imgs, can_bus, lidar2img,
                         prev_bev, has_prev):
-            out = model.apply({'params': params, 'batch_stats': batch_stats},
+            out = model.apply({'params': params, 'batch_stats': batch_stats,
+                               **extra},
                               imgs, can_bus, lidar2img, prev_bev,
                               has_prev, method=BEVFormerDetector.forward_stream)
             boxes = nms_free_decode(out['all_cls_scores'][-1],
@@ -250,7 +257,8 @@ def make_predict_fn_generic(model, mtype: str, anchors_np: np.ndarray = None,
 
     @jax.jit
     def predict(params, batch_stats, batch, anchors_b):
-        out = model.apply({'params': params, 'batch_stats': batch_stats},
+        out = model.apply({'params': params, 'batch_stats': batch_stats,
+                           **extra},
                           train=False, **_model_inputs(batch, mtype, False))
         dets = jax.vmap(partial(anchor_head_get_bboxes, cfg=decode_cfg))(
             out['cls_score'], out['bbox_pred'], out['dir_pred'], anchors_b)
