@@ -94,10 +94,10 @@ def multi_scale_deformable_attn(value: jnp.ndarray,
     head_dim = value.shape[-1]
 
     if query_chunk is None:
-        # Bound each materialized tap tensor to ~16M elements (64 MB
-        # f32 unpadded; lane padding for small head_dim can expand 4x).
-        per_q = nh * np_ * head_dim
-        query_chunk = max(256, int(16e6) // max(per_q, 1))
+        # Bound the materialized patch tensor (nq, nh, np, 2, 2, d) to
+        # ~64M elements (256 MB f32 unpadded) per chunk.
+        per_q = nh * np_ * 4 * head_dim
+        query_chunk = max(256, int(64e6) // max(per_q, 1))
     if nq > query_chunk:
         n_chunks = -(-nq // query_chunk)
         pad = n_chunks * query_chunk - nq
