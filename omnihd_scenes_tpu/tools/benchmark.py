@@ -60,7 +60,10 @@ def main():
     for i, (batch, valid) in enumerate(loader):
         batch.pop('index')
         out = predict_fn(state.params, state.batch_stats, batch)
-        jax.block_until_ready(out)
+        # Scalar readback = the reference's per-batch cuda.synchronize
+        # (block_until_ready returns immediately on async-relay
+        # runtimes and would measure dispatch, not execution).
+        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
         if i + 1 == args.warmup:
             t_start = time.perf_counter()
             n_done = 0
