@@ -199,3 +199,41 @@ def test_bev_encoder_end_to_end_int8():
     quant.set_mode('int8')
     y_q = m.apply({**v, 'quant': muts['quant']}, x, train=False)
     assert _cosine(y_q, y_f) > 0.99
+
+
+def test_predict_fn_with_quant_extra_variables():
+    """tools/test.py --int8 path: the predict builder must thread the
+    quant collection through apply, and the quantized predictions must
+    stay close to float."""
+    from omnihd_scenes_tpu.models.detectors import (PointPillars,
+                                                    PointPillarsConfig)
+    from omnihd_scenes_tpu.train.builder import make_predict_fn_generic
+
+    cfg = PointPillarsConfig(
+        point_cloud_range=(-10, -10, -3.0, 10, 10, 5.0),
+        voxel_size=(2.0, 2.0, 8.0), max_voxels=64,
+        max_points_per_voxel=4, bev_hw=(10, 10),
+        pfn_channels=(8,), second_channels=(128, 128, 128),
+        fpn_channels=(128, 128, 128))
+    model = PointPillars(cfg)
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-9, 9, (1, 64, 8)).astype(np.float32)
+    batch = {'points': pts, 'points_mask': np.ones((1, 64), bool)}
+    variables = model.init(jax.random.PRNGKey(0), pts,
+                           batch['points_mask'], train=False)
+    p, s = variables['params'], variables.get('batch_stats', {})
+
+    fn_f = make_predict_fn_generic(model, 'pointpillars', cfg.anchors())
+    (boxes_f, scores_f, *_), _ = fn_f(p, s, batch)
+
+    quant.set_mode('calib')
+    _, muts = model.apply(variables, pts, batch['points_mask'],
+                          train=False, mutable=['quant'])
+    quant.set_mode('int8')
+    fn_q = make_predict_fn_generic(model, 'pointpillars', cfg.anchors(),
+                                   extra_variables={'quant':
+                                                    muts['quant']})
+    (boxes_q, scores_q, *_), _ = fn_q(p, s, batch)
+    quant.set_mode('off')
+    assert boxes_q.shape == boxes_f.shape
+    assert _cosine(scores_q, scores_f) > 0.99
