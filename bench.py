@@ -95,13 +95,18 @@ def main_train():
     }))
 
 
-def main_bevformer():
-    """--bevformer: temporal camera-only flagship (BEVFormer-T R50 at
-    production scale) streaming inference throughput.  One scene
-    stream: per frame the model consumes the previous BEV (history
-    replay) and emits 300 NMS-free detections; N frames are chained
-    inside one jit through the recurrent bev state (a real temporal
-    data dependency, exactly the deployment access pattern)."""
+def main_bevformer(batch: int = 1):
+    """--bevformer [--batch N]: temporal camera-only flagship
+    (BEVFormer-T R50 at production scale) streaming inference.
+
+    batch=1 is the latency mode: one scene stream, per frame the model
+    consumes the previous BEV (history replay) and emits 300 NMS-free
+    detections; N frames are chained inside one jit through the
+    recurrent bev state (a real temporal data dependency, exactly the
+    deployment access pattern).  batch>1 is the scene-parallel serving
+    mode (the eval runner's ``run_streaming_inference_batched`` shape):
+    B independent temporal streams advance in lockstep in one dispatch
+    — reported value is aggregate samples/sec across the B streams."""
     import jax
     import jax.numpy as jnp
 
@@ -112,18 +117,21 @@ def main_bevformer():
 
     cfg = BEVFormerConfig()          # production scale (R50, 160x240 BEV)
     model = BEVFormerDetector(cfg)
+    b = batch
 
     rng = np.random.RandomState(0)
-    imgs = rng.randn(cfg.num_cams, *cfg.img_hw, 3).astype(np.float32)
-    can_bus = np.zeros((18,), np.float32)
-    l2i = np.tile(np.eye(4, dtype=np.float32), (cfg.num_cams, 1, 1))
+    imgs = rng.randn(b, cfg.num_cams, *cfg.img_hw, 3).astype(np.float32)
+    can_bus = np.zeros((b, 18), np.float32)
+    l2i = np.tile(np.eye(4, dtype=np.float32), (b, cfg.num_cams, 1, 1))
     bev_shape = (cfg.bev_h * cfg.bev_w, cfg.embed_dims)
-    prev_bev = np.zeros(bev_shape, np.float32)
+    prev_bev = np.zeros((b,) + bev_shape, np.float32)
 
-    variables = model.init(jax.random.PRNGKey(0), imgs, can_bus, l2i,
-                           prev_bev, np.asarray(False),
+    variables = model.init(jax.random.PRNGKey(0), imgs[0], can_bus[0],
+                           l2i[0], prev_bev[0], np.asarray(False),
                            method=BEVFormerDetector.forward_stream)
-    predict = make_predict_fn_generic(model, 'bevformer')
+    predict_one = make_predict_fn_generic(model, 'bevformer')
+    predict = jax.vmap(predict_one,
+                       in_axes=(None, None, 0, 0, 0, 0, None))
 
     def to_bf16(tree):
         return jax.tree.map(
@@ -154,8 +162,9 @@ def main_bevformer():
     dt = time.perf_counter() - t0
     print(json.dumps({
         'metric': 'bevformer_t_stream_infer_samples_per_sec',
-        'value': round(N_ITERS / dt, 2),
+        'value': round(N_ITERS * b / dt, 2),
         'unit': 'samples/sec/chip',
+        'batch': b,
         'vs_baseline': None,
     }))
 
@@ -251,6 +260,10 @@ def main(int8: bool = False, batch: int = 1):
                   + (f'_b{b}' if b != 4 else ''),
         'value': round(samples_per_sec, 2),
         'unit': 'samples/sec/chip',
+        'batch': b,
+        # NOMINAL baseline (no measured A100 reference exists;
+        # BASELINE.md "Notes"): 15 samples/s A100-class assumption.
+        'baseline': 'nominal_a100_15_samples_per_sec',
         'vs_baseline': round(samples_per_sec / NOMINAL_A100_SAMPLES_PER_SEC,
                              3),
     }))
@@ -260,7 +273,10 @@ if __name__ == '__main__':
     if '--train' in sys.argv:
         main_train()
     elif '--bevformer' in sys.argv:
-        main_bevformer()
+        b = 1                  # latency mode; --batch N = scene-parallel
+        if '--batch' in sys.argv:
+            b = int(sys.argv[sys.argv.index('--batch') + 1])
+        main_bevformer(batch=b)
     else:
         b = 4                  # serving batch (b=8 exceeds HBM;
         #                          b=1 latency mode via --batch 1)

@@ -20,35 +20,84 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 
 
+def rgb_to_hsv(img: np.ndarray):
+    """Float RGB (0-255 scale) -> (H deg [0,360), S [0,1], V) — the
+    cv2.COLOR_RGB2HSV float convention (tested against cv2)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    v = img.max(axis=-1)
+    mn = img.min(axis=-1)
+    c = v - mn
+    safe_c = np.where(c > 0, c, 1.0)
+    s = np.where(v > 0, c / np.where(v > 0, v, 1.0), 0.0)
+    h = np.select(
+        [c == 0, v == r, v == g],
+        [0.0,
+         (g - b) / safe_c * 60.0,
+         (b - r) / safe_c * 60.0 + 120.0],
+        (r - g) / safe_c * 60.0 + 240.0)
+    return np.mod(h, 360.0), s, v
+
+
+def hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray):
+    """Inverse of :func:`rgb_to_hsv` (cv2 float convention)."""
+    h60 = np.mod(h, 360.0) / 60.0
+    i = np.floor(h60).astype(np.int32) % 6
+    f = h60 - np.floor(h60)
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    r = np.choose(i, [v, q, p, p, t, v])
+    g = np.choose(i, [t, v, v, q, p, p])
+    b = np.choose(i, [p, p, t, v, v, q])
+    return np.stack([r, g, b], axis=-1)
+
+
 def photometric_distortion(imgs: np.ndarray,
                            rng: np.random.RandomState,
                            brightness_delta: float = 32.0,
                            contrast_range: Tuple[float, float] = (0.5, 1.5),
                            saturation_range: Tuple[float, float] = (0.5, 1.5),
-                           hue_delta: float = 18.0) -> np.ndarray:
-    """Jitter normalized multi-view images (N, H, W, 3), same params for
-    every view (the reference draws once per sample)."""
-    out = imgs.astype(np.float32).copy()
+                           hue_delta: float = 18.0,
+                           mean: Sequence[float] = None,
+                           std: Sequence[float] = None) -> np.ndarray:
+    """Jitter normalized multi-view images (N, H, W, 3).
+
+    Reference-faithful HSV-space pipeline (``transform_3d.py``
+    PhotoMetricDistortionMultiViewImage, each step p=0.5): brightness
+    delta -> contrast (mode draw: before or after the color ops) ->
+    HSV saturation scale -> HSV hue shift (degrees, wrapped) ->
+    contrast -> random channel swap.  Our images arrive normalized
+    (mean/std), so the jitter denormalizes to the 0-255 pixel space,
+    applies the reference ops, and renormalizes.  Deliberate deviation
+    kept from round 2: parameters are drawn ONCE PER SAMPLE and shared
+    by all views (the reference redraws per view, breaking multi-view
+    photometric consistency); hue zero-point differs RGB-vs-BGR, which
+    is immaterial under a symmetric random hue shift.
+    """
+    if mean is None or std is None:
+        from omnihd_scenes_tpu.data.image_loading import (IMAGENET_MEAN,
+                                                          IMAGENET_STD)
+        mean = IMAGENET_MEAN if mean is None else mean
+        std = IMAGENET_STD if std is None else std
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    out = imgs.astype(np.float32) * std + mean     # 0-255 pixel space
     if rng.randint(2):
-        out += rng.uniform(-brightness_delta, brightness_delta) / 58.0
+        out = out + rng.uniform(-brightness_delta, brightness_delta)
     mode = rng.randint(2)
     if mode == 1 and rng.randint(2):
-        out *= rng.uniform(*contrast_range)
-    # Saturation: scale chroma around the per-pixel mean.
+        out = out * rng.uniform(*contrast_range)
+    h, s, v = rgb_to_hsv(out)
     if rng.randint(2):
-        mean = out.mean(axis=-1, keepdims=True)
-        out = mean + (out - mean) * rng.uniform(*saturation_range)
-    # Hue: cheap channel rotation by a small mix.
+        s = s * rng.uniform(*saturation_range)
     if rng.randint(2):
-        alpha = np.deg2rad(rng.uniform(-hue_delta, hue_delta))
-        c, s = np.cos(alpha), np.sin(alpha)
-        r, g, b = out[..., 0].copy(), out[..., 1].copy(), out[..., 2].copy()
-        out[..., 0] = c * r - s * g
-        out[..., 1] = s * r + c * g
-        out[..., 2] = b
+        h = np.mod(h + rng.uniform(-hue_delta, hue_delta), 360.0)
+    out = hsv_to_rgb(h, s, v)
     if mode == 0 and rng.randint(2):
-        out *= rng.uniform(*contrast_range)
-    return out
+        out = out * rng.uniform(*contrast_range)
+    if rng.randint(2):
+        out = out[..., rng.permutation(3)]
+    return (out - mean) / std
 
 
 def global_rot_scale_trans(points: np.ndarray,

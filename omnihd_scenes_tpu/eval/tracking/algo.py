@@ -1,21 +1,40 @@
-"""Tracking metrics: per-threshold MOT accumulation + AMOTA/AMOTP.
+"""Tracking metrics: per-threshold MOT accumulation + the full
+nuScenes-style metric set.
 
-Parity target: ``newscenes_devkit/eval/tracking/algo.py`` (nuScenes
-TrackingEvaluation) — self-contained (no ``motmetrics``): per scene and
-frame, predictions above a recall-derived score threshold are matched
-to GT by center distance (< dist_th_tp) with identity-preserving
-priority (a GT prefers its previously matched track id, the standard
-MOT matching rule); MOTA-style counts (TP/FP/FN/IDS) accumulate, and
-AMOTA/AMOTP average the nuScenes-updated MOTAR over ``nelem`` recall
-thresholds.
+Parity target: ``newscenes_devkit/eval/tracking/{algo,metrics,mot}.py``
+(the nuScenes tracking suite, which ships broken in the reference —
+SURVEY.md §2.2) — self-contained, no ``motmetrics``:
+
+* per scene and frame, predictions above a recall-derived score
+  threshold are matched to GT by center distance (< dist_th_tp) with
+  identity-preserving priority (a GT prefers its previously matched
+  track id — the standard MOT matching rule);
+* per-threshold rows carry tp/fp/fn/ids plus the track-quality metrics
+  mt/ml (mostly tracked ≥80% / mostly lost ≤20% of a GT track's life,
+  py-motmetrics definitions), frag (tracked→lost transitions inside the
+  tracked span, ``metrics.py num_fragmentations_custom``), tid (first
+  GT appearance → first TP, seconds, averaged over ever-tracked tracks,
+  ``metrics.py track_initialization_duration``), lgd (longest untracked
+  gap over the GT span, seconds, ``metrics.py longest_gap_duration``),
+  faf (false alarms per frame × 100, ``metrics.py faf``);
+* AMOTA/AMOTP average MOTAR/MOTP over ``nelem`` recall thresholds
+  (``AVG_METRIC_MAP``), and the legacy metrics are reported at the
+  best-MOTA threshold (reference ``evaluate.py:143-156``).
 """
 
 from __future__ import annotations
 
-from collections import defaultdict
-from typing import Dict, List, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
+
+SAMPLE_PERIOD_S = 0.5      # approx. keyframe period (reference metrics.py)
+
+# Per-threshold row fields (reference constants.py TRACKING_METRICS sans
+# the two averages computed on top).
+MD_FIELDS = ['confidence', 'recall', 'motar', 'mota', 'motp', 'faf',
+             'gt', 'tp', 'fp', 'fn', 'ids', 'frag', 'mt', 'ml',
+             'tid', 'lgd']
 
 
 def _match_frame(gts: List, preds: List, dist_th: float,
@@ -24,7 +43,7 @@ def _match_frame(gts: List, preds: List, dist_th: float,
 
     gts/preds: lists of TrackingBox for one frame, one class.
     prev_match: gt track id -> pred track id from the previous frame.
-    Returns (matches [(gt, pred)], unmatched_gts, unmatched_preds).
+    Returns (matches [(gt, pred, dist)], unmatched_gts, unmatched_preds).
     """
     if not gts or not preds:
         return [], list(gts), list(preds)
@@ -61,76 +80,201 @@ def _match_frame(gts: List, preds: List, dist_th: float,
     return matches, un_g, un_p
 
 
-def accumulate_class(gt_frames: List[List], pred_frames: List[List],
-                     dist_th: float, score_thr: float) -> Dict[str, float]:
-    """MOT counts for one class over ordered frames at one threshold."""
+def _track_metrics(timelines: Dict, period: float = SAMPLE_PERIOD_S):
+    """MT/ML/FRAG/TID/LGD from per-GT-track (frame, matched) timelines.
+
+    Each timeline is the ordered list of (frame_idx, matched) for the
+    frames where the GT track is present.  Definitions follow the
+    reference ``metrics.py`` / py-motmetrics:
+      mt/ml  — tracks matched on >=80% / <=20% of their frames;
+      frag   — matched->unmatched transitions within the matched span;
+      tid    — (first matched frame − first frame) × period, averaged
+               over ever-matched tracks (nan when none);
+      lgd    — longest consecutive unmatched run over the track's frame
+               span (initial gap included) × period, same averaging.
+    """
+    mt = ml = frag = 0
+    tid_sum = lgd_sum = 0.0
+    matched_tracks = 0
+    for frames in timelines.values():
+        idx = [f for f, _ in frames]
+        hit = [m for _, m in frames]
+        n = len(frames)
+        n_hit = sum(hit)
+        ratio = n_hit / n if n else 0.0
+        if ratio >= 0.8:
+            mt += 1
+        elif ratio <= 0.2:
+            ml += 1
+        if n_hit == 0:
+            continue
+        matched_tracks += 1
+        first_hit = hit.index(True)
+        last_hit = n - 1 - hit[::-1].index(True)
+        # frag: interruptions inside the tracked span.
+        frag += sum(1 for i in range(first_hit + 1, last_hit + 1)
+                    if not hit[i] and hit[i - 1])
+        # tid: frame-index difference (GT spans are contiguous per the
+        # annotation interpolation; fall back to index difference).
+        tid_sum += (idx[first_hit] - idx[0]) * period
+        # lgd: longest consecutive unmatched run (leading gap counts,
+        # reference longest_gap_duration iterates the full GT span).
+        gap = cur = 0
+        for i in range(n):
+            if hit[i]:
+                gap = max(gap, cur)
+                cur = 0
+            else:
+                cur += 1
+        lgd_sum += max(gap, cur) * period
+    if matched_tracks == 0:
+        tid = lgd = float('nan')
+    else:
+        tid = tid_sum / matched_tracks
+        lgd = lgd_sum / matched_tracks
+    return {'mt': mt, 'ml': ml, 'frag': frag, 'tid': tid, 'lgd': lgd}
+
+
+def accumulate_class(gt_scenes: Sequence[List[List]],
+                     pred_scenes: Sequence[List[List]],
+                     dist_th: float, score_thr: float,
+                     collect_match_scores: bool = False) -> Dict:
+    """MOT counts for one class over scene-grouped ordered frames at one
+    score threshold.
+
+    gt_scenes/pred_scenes: per scene, the ordered list of per-frame
+    TrackingBox lists.  Identity bookkeeping and track timelines are
+    per scene (no cross-scene state).
+    """
     tp = fp = fn = ids = 0
+    n_frames = 0
     dist_sum = 0.0
-    prev_match: Dict[str, str] = {}
-    for gts, preds in zip(gt_frames, pred_frames):
-        preds = [p for p in preds if p.tracking_score >= score_thr]
-        matches, un_g, un_p = _match_frame(gts, preds, dist_th, prev_match)
-        tp += len(matches)
-        fp += len(un_p)
-        fn += len(un_g)
-        dist_sum += sum(m[2] for m in matches)
-        new_match = {}
-        for g, p, _ in matches:
-            if g.tracking_id in prev_match \
-                    and prev_match[g.tracking_id] != p.tracking_id:
-                ids += 1
-            new_match[g.tracking_id] = p.tracking_id
-        prev_match = new_match
+    match_scores: List[float] = []
+    timelines: Dict[Tuple[int, str], List[Tuple[int, bool]]] = {}
+    for si, (gt_frames, pred_frames) in enumerate(zip(gt_scenes,
+                                                      pred_scenes)):
+        prev_match: Dict[str, str] = {}
+        for fi, (gts, preds) in enumerate(zip(gt_frames, pred_frames)):
+            n_frames += 1
+            preds = [p for p in preds if p.tracking_score >= score_thr]
+            matches, un_g, un_p = _match_frame(gts, preds, dist_th,
+                                               prev_match)
+            tp += len(matches)
+            fp += len(un_p)
+            fn += len(un_g)
+            dist_sum += sum(m[2] for m in matches)
+            if collect_match_scores:
+                match_scores.extend(p.tracking_score
+                                    for _, p, _ in matches)
+            matched_ids = {g.tracking_id for g, _, _ in matches}
+            for g in gts:
+                timelines.setdefault((si, g.tracking_id), []).append(
+                    (fi, g.tracking_id in matched_ids))
+            new_match = {}
+            for g, p, _ in matches:
+                if g.tracking_id in prev_match \
+                        and prev_match[g.tracking_id] != p.tracking_id:
+                    ids += 1
+                new_match[g.tracking_id] = p.tracking_id
+            prev_match = new_match
     ngt = tp + fn
-    return {'tp': tp, 'fp': fp, 'fn': fn, 'ids': ids, 'ngt': ngt,
-            'motp': dist_sum / tp if tp > 0 else dist_th,
-            'recall': tp / ngt if ngt > 0 else 0.0}
+    out = {'tp': tp, 'fp': fp, 'fn': fn, 'ids': ids, 'gt': ngt,
+           'n_frames': n_frames,
+           'motp': dist_sum / tp if tp > 0 else float('nan'),
+           'recall': tp / ngt if ngt > 0 else 0.0,
+           'faf': fp / n_frames * 100 if n_frames else 0.0}
+    out.update(_track_metrics(timelines))
+    if collect_match_scores:
+        out['match_scores'] = match_scores
+    return out
+
+
+def compute_thresholds(gt_scenes, pred_scenes, dist_th: float,
+                       nelem: int, min_recall: float):
+    """Recall-derived score thresholds (reference algo.py
+    compute_thresholds): one permissive accumulation collects matched
+    prediction scores; the threshold for recall r is the score at which
+    the match-recall curve crosses r (nan when unachieved)."""
+    base = accumulate_class(gt_scenes, pred_scenes, dist_th,
+                            -np.inf, collect_match_scores=True)
+    ngt = max(base['gt'], 1)
+    scores = np.sort(np.asarray(base['match_scores'], np.float64))[::-1]
+    rec = np.arange(1, len(scores) + 1) / ngt
+    recalls = np.linspace(min_recall, 1.0, nelem)
+    thresholds = np.full(nelem, np.nan)
+    for i, r in enumerate(recalls):
+        hits = np.nonzero(rec >= r)[0]
+        if hits.size:
+            thresholds[i] = scores[hits[0]]
+    return thresholds, recalls
+
+
+def accumulate_curve(gt_scenes, pred_scenes, dist_th: float,
+                     nelem: int = 40, min_recall: float = 0.1) -> Dict:
+    """Per-recall-threshold metric rows (TrackingMetricData analogue).
+
+    Returns {field: np.ndarray[nelem]} over MD_FIELDS; rows at
+    unachieved recalls carry motar=0, motp=dist_th and nan elsewhere
+    (reference algo.py unachieved-threshold convention).
+    """
+    thresholds, recalls = compute_thresholds(gt_scenes, pred_scenes,
+                                             dist_th, nelem, min_recall)
+    md = {f: np.full(nelem, np.nan) for f in MD_FIELDS}
+    md['confidence'] = thresholds
+    md['recall'] = recalls          # hypothetical recall axis
+    cache: Dict[float, Dict] = {}
+    for i, thr in enumerate(thresholds):
+        if np.isnan(thr):
+            md['motar'][i] = 0.0
+            md['motp'][i] = dist_th
+            continue
+        if thr not in cache:
+            cache[thr] = accumulate_class(gt_scenes, pred_scenes,
+                                          dist_th, thr)
+        st = cache[thr]
+        ngt = st['gt']
+        # nuScenes MOTAR uses the MEASURED recall of the row.
+        r = st['recall']
+        denom = r * ngt
+        motar = (max(0.0, 1.0 - (st['ids'] + st['fp'] + st['fn']
+                                 - (1.0 - r) * ngt) / denom)
+                 if denom > 0 else float('nan'))
+        md['motar'][i] = motar
+        md['mota'][i] = max(0.0, 1.0 - (st['fp'] + st['fn'] + st['ids'])
+                            / max(ngt, 1))
+        md['motp'][i] = (st['motp'] if np.isfinite(st['motp'])
+                         else dist_th)
+        for f in ('faf', 'gt', 'tp', 'fp', 'fn', 'ids', 'frag',
+                  'mt', 'ml', 'tid', 'lgd'):
+            md[f][i] = st[f]
+    return md
+
+
+def summarize_curve(md: Dict, dist_th: float) -> Dict[str, float]:
+    """Class summary: AMOTA/AMOTP over the curve + legacy metrics at the
+    best-MOTA threshold (reference evaluate.py:143-156)."""
+    out = {'amota': float(np.nanmean(md['motar'])),
+           'amotp': float(np.nanmean(md['motp']))}
+    mota = md['mota']
+    if np.all(np.isnan(mota)):
+        best = None
+    else:
+        best = int(np.nanargmax(mota))
+    for f in ('mota', 'motp', 'recall', 'faf', 'gt', 'tp', 'fp', 'fn',
+              'ids', 'frag', 'mt', 'ml', 'tid', 'lgd'):
+        if best is None:
+            out[f] = (0.0 if f in ('mota', 'recall') else
+                      dist_th if f == 'motp' else float('nan'))
+        else:
+            out[f] = float(md[f][best])
+    return out
 
 
 def amota_amotp(gt_frames: List[List], pred_frames: List[List],
                 dist_th: float, nelem: int = 40,
                 min_recall: float = 0.1) -> Dict[str, float]:
-    """nuScenes AMOTA/AMOTP over recall-derived score thresholds."""
-    scores = sorted({p.tracking_score for frame in pred_frames
-                     for p in frame}, reverse=True)
-    # Cap the candidate-threshold sweep (quantile subsampling).
-    if len(scores) > 4 * nelem:
-        step = len(scores) // (4 * nelem)
-        scores = scores[::step]
-    if not scores:
-        return {'amota': 0.0, 'amotp': dist_th, 'mota': 0.0,
-                'motp': dist_th, 'recall': 0.0}
-
-    recalls = np.linspace(min_recall, 1.0, nelem)
-    motar_list, motp_list = [], []
-    best = None
-    for r in recalls:
-        # Score threshold achieving recall r (approximately): sweep.
-        thr = None
-        for s in scores:
-            counts = accumulate_class(gt_frames, pred_frames, dist_th, s)
-            if counts['recall'] >= r:
-                thr = s
-                stats = counts
-                break
-        if thr is None:
-            motar_list.append(0.0)
-            motp_list.append(dist_th)
-            continue
-        ngt = max(stats['ngt'], 1)
-        # nuScenes MOTAR: 1 - (ids + fp + fn - (1 - r) * ngt)/(r * ngt).
-        motar = max(0.0, 1.0 - (stats['ids'] + stats['fp'] + stats['fn']
-                                - (1.0 - r) * ngt) / max(r * ngt, 1e-9))
-        motar_list.append(motar)
-        motp_list.append(stats['motp'])
-        if best is None or stats['recall'] > best['recall']:
-            best = stats
-
-    best = best or {'tp': 0, 'fp': 0, 'fn': 0, 'ids': 0, 'ngt': 1,
-                    'motp': dist_th, 'recall': 0.0}
-    mota = max(0.0, 1.0 - (best['fp'] + best['fn'] + best['ids'])
-               / max(best['ngt'], 1))
-    return {'amota': float(np.mean(motar_list)),
-            'amotp': float(np.mean(motp_list)),
-            'mota': mota, 'motp': best['motp'],
-            'recall': best['recall']}
+    """Single-scene convenience wrapper (kept for the original API):
+    the flat frame lists are treated as one scene."""
+    md = accumulate_curve([gt_frames], [pred_frames], dist_th,
+                          nelem=nelem, min_recall=min_recall)
+    return summarize_curve(md, dist_th)

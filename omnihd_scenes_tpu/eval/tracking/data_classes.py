@@ -19,7 +19,12 @@ from omnihd_scenes_tpu.eval.common import EvalBox
 
 TRACKING_NAMES = ['car', 'pedestrian', 'rider', 'large_vehicle']
 
-TRACKING_METRICS = ['amota', 'amotp', 'mota', 'motp', 'recall']
+# Full reference metric name list (constants.py TRACKING_METRICS):
+# averages + internals + the legacy motmetrics set.
+AMOT_METRICS = ['amota', 'amotp']
+LEGACY_METRICS = ['mota', 'motp', 'mt', 'ml', 'faf', 'tp', 'fp', 'fn',
+                  'ids', 'frag', 'tid', 'lgd']
+TRACKING_METRICS = AMOT_METRICS + ['recall'] + LEGACY_METRICS
 
 
 class TrackingConfig:

@@ -18,7 +18,8 @@ import numpy as np
 
 from omnihd_scenes_tpu.eval.common import load_prediction
 from omnihd_scenes_tpu.eval.detection.utils import category_to_detection_name
-from omnihd_scenes_tpu.eval.tracking.algo import amota_amotp
+from omnihd_scenes_tpu.eval.tracking.algo import (accumulate_curve,
+                                                  summarize_curve)
 from omnihd_scenes_tpu.eval.tracking.data_classes import (TRACKING_NAMES,
                                                           TrackingBox,
                                                           TrackingConfig)
@@ -91,40 +92,53 @@ class TrackingEval:
             per_scene[scene].sort(key=int)
         return per_scene
 
-    def main(self) -> Dict[str, float]:
+    def main(self, render_curves: bool = True) -> Dict[str, float]:
         per_scene = self._scene_frames()
         metrics = {}
         per_class = defaultdict(list)
+        md_per_class = {}
         for cls in self.cfg.tracking_names:
-            gt_frames, pred_frames = [], []
+            gt_scenes, pred_scenes = [], []
             for scene, tokens in per_scene.items():
-                for tok in tokens:
-                    gt_frames.append(
-                        [b for b in self.gt.get(tok, [])
-                         if b.tracking_name == cls])
-                    pred_frames.append(
-                        [b for b in self.pred.get(tok, [])
-                         if b.tracking_name == cls])
-                # Scene boundary: empty separator frame resets identity.
-                gt_frames.append([])
-                pred_frames.append([])
-            res = amota_amotp(gt_frames, pred_frames, self.cfg.dist_th_tp,
-                              nelem=self.cfg.nelem,
-                              min_recall=self.cfg.min_recall)
+                gt_scenes.append(
+                    [[b for b in self.gt.get(tok, [])
+                      if b.tracking_name == cls] for tok in tokens])
+                pred_scenes.append(
+                    [[b for b in self.pred.get(tok, [])
+                      if b.tracking_name == cls] for tok in tokens])
+            md = accumulate_curve(gt_scenes, pred_scenes,
+                                  self.cfg.dist_th_tp,
+                                  nelem=self.cfg.nelem,
+                                  min_recall=self.cfg.min_recall)
+            md_per_class[cls] = md
+            res = summarize_curve(md, self.cfg.dist_th_tp)
             for k, v in res.items():
                 metrics[f'{cls}_{k}'] = v
                 per_class[k].append(v)
 
         for k, vals in per_class.items():
-            metrics[k] = float(np.mean(vals))
+            metrics[k] = float(np.nanmean(vals))
 
         if self.output_dir:
             os.makedirs(self.output_dir, exist_ok=True)
             with open(os.path.join(self.output_dir,
                                    'tracking_metrics.json'), 'w') as f:
                 json.dump(metrics, f, indent=2)
+            with open(os.path.join(self.output_dir,
+                                   'tracking_details.json'), 'w') as f:
+                json.dump({cls: {k: np.asarray(v).tolist()
+                                 for k, v in md.items()}
+                           for cls, md in md_per_class.items()}, f)
+            if render_curves:
+                from omnihd_scenes_tpu.eval.tracking.render import (
+                    render_tracking_curves)
+                render_tracking_curves(md_per_class, self.output_dir)
         if self.verbose:
             print(f"AMOTA: {metrics['amota']:.4f}  "
                   f"AMOTP: {metrics['amotp']:.4f}  "
-                  f"MOTA: {metrics['mota']:.4f}")
+                  f"MOTA: {metrics['mota']:.4f}  "
+                  f"MT: {metrics['mt']:.0f}  ML: {metrics['ml']:.0f}  "
+                  f"FRAG: {metrics['frag']:.0f}  "
+                  f"TID: {metrics['tid']:.2f}s  "
+                  f"LGD: {metrics['lgd']:.2f}s")
         return metrics

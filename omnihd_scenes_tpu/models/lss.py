@@ -49,6 +49,11 @@ class LSSConfig:
     #   'scatter' — exact splat-sum parity with the reference CUDA
     #               bev_pool_v2 (XLA scatter-add; slow on TPU).
     splat_mode: str = 'sample'
+    # Kernel backend for splat_mode='sample': 'auto' (pallas on TPU,
+    # einsum elsewhere), 'einsum', or 'pallas'.  Use 'einsum' in
+    # GSPMD-sharded (multi-chip pjit) graphs — pallas_call does not
+    # compose with automatic partitioning; einsum partitions natively.
+    splat_impl: str = 'auto'
     # Per-camera-slot flag for the sampling transform: True for cameras
     # viewing mostly along BEV x.  Default matches the OmniHD rig order
     # (front, left_front, right_front, back, left_back, right_back at
@@ -237,7 +242,8 @@ class LiftSplatShoot(nn.Module):
                     bev_nx=(nx, ny, nz),
                     solve_x=solve_x,
                     b_windows=(None if cfg.cam_b_windows is None
-                               else tuple(cfg.cam_b_windows)))
+                               else tuple(cfg.cam_b_windows)),
+                    impl=cfg.splat_impl)
             ids = frustum_voxel_ids(
                 frustum, rots_b, trans_b,
                 bev_start=(cfg.pc_range[0], cfg.pc_range[1], cfg.pc_range[2]),

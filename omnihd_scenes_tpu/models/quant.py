@@ -31,9 +31,13 @@ Usage:
     quant.set_mode('int8')
     out = model.apply(variables, *batch, train=False)
 
-The mode is a process-global trace-time switch (it selects which graph
-is built; jit caches are keyed by the traced graph, so switch modes
-outside jit).  In the default ``off`` mode :class:`Conv` is numerically
+The mode is a process-global trace-time switch: it selects which graph
+is built when a function is *traced*.  ``jax.jit`` caches by function
+identity + argument avals, NOT by the traced graph — a callable jitted
+before ``set_mode()`` keeps executing the old mode's graph, so any
+jitted callable must be re-created (a fresh ``jax.jit``-wrapped
+function object) after switching modes.  In the default ``off`` mode
+:class:`Conv` is numerically
 identical to ``flax.linen.Conv`` and creates no ``quant`` variables —
 checkpoints, module paths (``Conv_0/kernel``) and the torch importer
 are unaffected.

@@ -192,7 +192,17 @@ def compute_b_windows(rots, trans, *, image_size, feat_hw, depth_range,
     the (offset, width) range of b columns with any valid sample,
     widened by ``margin`` cells and aligned to ``align``.  Feed the
     result to ``lss_sample_bev(b_windows=...)``; it is conservative by
-    construction, so outputs are unchanged.
+    construction *for the (rots, trans) it was derived from*.
+
+    INFERENCE-ONLY for a fixed rig: the windows are static, but
+    ``lss_sample_bev`` applies them to whatever per-sample extrinsics
+    arrive at runtime.  Extrinsics perturbed away from the nominal
+    calibration (training-time GlobalRotScaleTransImage augmentation,
+    rig drift) can move valid samples outside the window and silently
+    zero BEV columns — do NOT pass ``b_windows`` in training graphs,
+    and re-derive windows whenever the deployed calibration changes.
+    Use ``check_b_windows`` (debug, host-side) to verify a window set
+    against the actual runtime extrinsics.
     """
     geom = _Geom(image_size, feat_hw, depth_range, bev_start, bev_voxel,
                  bev_nx)
@@ -218,6 +228,28 @@ def compute_b_windows(rots, trans, *, image_size, feat_hw, depth_range,
         wd = min(n_b - lo, -(-(hi - lo) // align) * align)
         windows.append((lo, wd))
     return tuple(windows)
+
+
+def check_b_windows(b_windows, rots, trans, *, image_size, feat_hw,
+                    depth_range, bev_start, bev_voxel, bev_nx,
+                    solve_x: Sequence[bool]) -> bool:
+    """Debug check: do ``b_windows`` cover every valid sample for the
+    given (possibly runtime-perturbed) extrinsics?
+
+    Host-side; returns True when no valid (i_star, j_star) column falls
+    outside its camera's window.  Run this when extrinsics may differ
+    from the calibration the windows were derived from (see
+    ``compute_b_windows`` docstring).
+    """
+    fresh = compute_b_windows(rots, trans, image_size=image_size,
+                              feat_hw=feat_hw, depth_range=depth_range,
+                              bev_start=bev_start, bev_voxel=bev_voxel,
+                              bev_nx=bev_nx, solve_x=solve_x, margin=0,
+                              align=1)
+    for (lo, wd), (flo, fwd) in zip(b_windows, fresh):
+        if flo < lo or flo + fwd > lo + wd:
+            return False
+    return True
 
 
 def lss_sample_bev(depth: jnp.ndarray,

@@ -87,19 +87,43 @@ def main():
         from omnihd_scenes_tpu.models import quant
         from omnihd_scenes_tpu.train.builder import _model_inputs as _mi
 
-        def _apply_mutable(variables):
-            fn = jax.jit(lambda v, kw: model.apply(
-                v, train=False, mutable=['quant'], **kw)[1])
-            muts = variables.get('quant', {})
-            for i in range(min(4, len(dataset))):       # calib batches
-                sample = dataset[i]
+        if mtype == 'bevformer':
+            # Calibrate through the streaming forward (cold stream:
+            # zero prev_bev) — the queue forward expects a temporal
+            # batch the single-frame test dataset doesn't provide.
+            def _calib_fn():
+                import jax.numpy as jnp
+
+                def fn(v, s):
+                    return model.apply(
+                        v, s['imgs'], s['can_bus'], s['lidar2img'],
+                        jnp.zeros(bev_shape, jnp.float32),
+                        jnp.asarray(False), mutable=['quant'],
+                        method=type(model).forward_stream)[1]
+                return jax.jit(fn)
+
+            def _calib_inputs(sample):
+                return {k: sample[k]
+                        for k in ('imgs', 'can_bus', 'lidar2img')}
+        else:
+            def _calib_fn():
+                return jax.jit(lambda v, kw: model.apply(
+                    v, train=False, mutable=['quant'], **kw)[1])
+
+            def _calib_inputs(sample):
                 batch = {k: v[None] for k, v in sample.items()
                          if hasattr(v, 'shape')}
+                return _mi(batch, mtype, False)
+
+        def _apply_mutable(variables):
+            fn = _calib_fn()
+            muts = variables.get('quant', {})
+            for i in range(min(4, len(dataset))):       # calib batches
                 v = {'params': state.params,
                      'batch_stats': state.batch_stats}
                 if muts:
                     v['quant'] = muts
-                muts = jax.device_get(fn(v, _mi(batch, mtype, False))
+                muts = jax.device_get(fn(v, _calib_inputs(dataset[i]))
                                       )['quant']
                 if quant.get_mode() == 'freeze':
                     break                               # one pass enough
@@ -121,11 +145,13 @@ def main():
             from omnihd_scenes_tpu.train.eval_runner import (
                 run_streaming_inference_batched)
 
-            predict_b = make_predict_stream_batched(model)
+            predict_b = make_predict_stream_batched(
+                model, extra_variables=quant_vars)
             bbox_results = run_streaming_inference_batched(
                 predict_b, state, dataset, bev_shape, stream_batch)
         else:
-            predict_stream = make_predict_fn_generic(model, mtype)
+            predict_stream = make_predict_fn_generic(
+                model, mtype, extra_variables=quant_vars)
             bbox_results = run_streaming_inference(predict_stream, state,
                                                    dataset, bev_shape)
         outputs = {'bbox_results': bbox_results, 'occ_results': None}

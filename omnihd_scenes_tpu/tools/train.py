@@ -111,6 +111,28 @@ def main():
         state = load_checkpoint(args.resume_from, state)
         logger.log({'mode': 'resume', 'step': int(state.step)})
 
+    # Pretrained image-backbone init from torch checkpoints (reference
+    # tools/train.py:276-428 load_img_from + the implicit torchvision
+    # pretrained= ImageNet init of every camera baseline).
+    pretrained = cfg.get('pretrained', cfg.model.get('pretrained'))
+    load_img_from = cfg.get('load_img_from')
+    if pretrained or load_img_from:
+        from omnihd_scenes_tpu.train.torch_import import apply_pretrained
+
+        merged, reports = apply_pretrained(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            pretrained=pretrained, load_img_from=load_img_from,
+            resnet_depth=cfg.model.get('resnet_depth'))
+        state = state._replace(params=merged['params'],
+                               batch_stats=merged.get('batch_stats',
+                                                      state.batch_stats))
+        for key, rep in reports.items():
+            logger.log({'mode': key,
+                        'loaded': len(rep['loaded']),
+                        'missing': len(rep.get('missing', ())),
+                        'mismatched': len(rep.get('mismatched', ())),
+                        'skipped': len(rep.get('skipped', ()))})
+
     # Staged pretraining (reference load_img_from / load_lift_from /
     # load_pts_from chains).
     if cfg.get('load_lift_from') or cfg.get('load_pts_from'):

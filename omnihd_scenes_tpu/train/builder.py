@@ -276,15 +276,22 @@ def make_predict_fn_generic(model, mtype: str, anchors_np: np.ndarray = None,
     return predict_with_anchors
 
 
-def make_predict_stream_batched(model, nms_free_cfg=None):
+def make_predict_stream_batched(model, nms_free_cfg=None,
+                                extra_variables: dict = None):
     """Batched (scene-parallel) BEVFormer streaming inference: one
     dispatch serves B independent temporal streams (vmap over the
-    per-sample streaming forward)."""
+    per-sample streaming forward).
+
+    ``extra_variables``: additional variable collections merged into
+    every apply (e.g. the ``quant`` collection for the int8 tier).
+    """
     cfg = nms_free_cfg or NMSFreeCoderCfg()
+    extra = extra_variables or {}
 
     def _stream_one(params, batch_stats, imgs, can_bus, lidar2img,
                     prev_bev, has_prev):
-        out = model.apply({'params': params, 'batch_stats': batch_stats},
+        out = model.apply({'params': params, 'batch_stats': batch_stats,
+                           **extra},
                           imgs, can_bus, lidar2img, prev_bev,
                           has_prev, method=BEVFormerDetector.forward_stream)
         boxes = nms_free_decode(out['all_cls_scores'][-1],

@@ -160,6 +160,7 @@ def run_training(state: TrainState,
     for epoch in range(num_epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
+        loss = None
         # Host-side sample prep overlaps device compute (the native
         # decode path releases the GIL).
         for it, batch in enumerate(prefetch(iter(train_loader))):
@@ -183,11 +184,14 @@ def run_training(state: TrainState,
                     t0 = time.time()
         # Epoch-end guard: a NaN arising AFTER the last log-interval
         # readback must not reach the checkpoint (rotation could evict
-        # the last good one).
-        loss_v = float(loss)
-        if not np.isfinite(loss_v):
-            raise FloatingPointError(
-                f'non-finite loss at end of epoch {epoch}')
+        # the last good one).  An empty epoch (loss is None) is not an
+        # error — tiny shards / resume edge cases can legitimately
+        # yield zero batches; there is nothing to guard then.
+        if loss is not None:
+            loss_v = float(loss)
+            if not np.isfinite(loss_v):
+                raise FloatingPointError(
+                    f'non-finite loss at end of epoch {epoch}')
         if ckpt_dir and ((epoch + 1) % ckpt_interval == 0):
             save_checkpoint(ckpt_dir, state, epoch + 1)
         if eval_fn and ((epoch + 1) % eval_interval == 0):

@@ -303,6 +303,152 @@ LOAD_IMG_FROM_RULES = (
     ('img_backbone', ('img_backbone',)),
     ('img_neck', ('img_neck',)),
 )
+
+
+# ---------------------------------------------------------------------------
+# Experiment-workflow glue (config keys -> importer calls)
+# ---------------------------------------------------------------------------
+
+def find_backbone_prefix(variables: Dict) -> Optional[Tuple[str, ...]]:
+    """Locate the image-backbone ResNet subtree inside a flax variables
+    tree.
+
+    Our models name the backbone differently (``img_backbone`` under
+    setup-style modules, ``ResNet_0`` under ``nn.compact`` parents); the
+    ResNet subtree is recognized structurally: a params dict holding a
+    ``Conv_0`` stem and a ``BasicBlock_0``/``Bottleneck_0`` child.
+    Returns the path *below* the collection key, or None.
+    """
+    params = variables.get('params', variables)
+
+    def _scan(tree, path):
+        if not isinstance(tree, dict):
+            return None
+        if 'Conv_0' in tree and ('BasicBlock_0' in tree
+                                 or 'Bottleneck_0' in tree):
+            return path
+        for k, v in tree.items():
+            found = _scan(v, path + (k,))
+            if found is not None:
+                return found
+        return None
+
+    return _scan(params, ())
+
+
+def _looks_like_torchvision_resnet(sd: Dict[str, np.ndarray]) -> bool:
+    return 'conv1.weight' in sd and any(k.startswith('layer1.')
+                                        for k in sd)
+
+
+def resolve_pretrained_path(spec: str) -> str:
+    """Resolve a ``pretrained=`` spec to a local checkpoint path.
+
+    ``torchvision://resnet50`` (the reference's implicit ImageNet init)
+    resolves against the local torch-hub cache — this environment has
+    no network egress, so the weight file must already be on disk.
+    Any other spec is a filesystem path.
+    """
+    if spec.startswith('torchvision://'):
+        import glob
+        import os
+
+        name = spec[len('torchvision://'):]
+        hub = os.environ.get(
+            'TORCH_HOME', os.path.expanduser('~/.cache/torch'))
+        hits = sorted(glob.glob(
+            os.path.join(hub, 'hub', 'checkpoints', f'{name}-*.pth')))
+        if not hits:
+            raise FileNotFoundError(
+                f'{spec}: no cached torchvision weights under '
+                f'{hub}/hub/checkpoints (no network egress here — '
+                f'place the .pth there or use load_img_from=<path>)')
+        return hits[-1]
+    return spec
+
+
+def apply_pretrained(variables: Dict, *,
+                     pretrained: Optional[str] = None,
+                     load_img_from: Optional[str] = None,
+                     resnet_depth: Optional[int] = None,
+                     verbose: bool = True) -> Tuple[Dict, Dict]:
+    """Wire the reference's pretrained-init config keys into the
+    importer (reference ``tools/train.py:276-428`` + the implicit
+    torchvision ``pretrained=`` of every camera baseline).
+
+    ``pretrained='torchvision://resnet50'`` or a raw path, and/or
+    ``load_img_from=<.pth>`` (an mm-style detector checkpoint whose
+    ``backbone``/``neck`` keys rename onto img_backbone/img_neck).
+    A bare torchvision-format state dict given to ``load_img_from``
+    routes through the exact ResNet name map.
+
+    Returns (merged variables, {key: report}).
+    """
+    reports: Dict[str, Dict] = {}
+    if pretrained:
+        path = resolve_pretrained_path(pretrained)
+        sd = load_state_dict(path)
+        if not _looks_like_torchvision_resnet(sd):
+            raise ValueError(f'pretrained={pretrained}: not a '
+                             'torchvision ResNet state dict')
+        depth = resnet_depth
+        if depth is None and pretrained.startswith('torchvision://'):
+            import re
+
+            m = re.search(r'resnet(\d+)', pretrained)
+            depth = int(m.group(1)) if m else None
+        if depth is None:
+            raise ValueError('resnet_depth required to import '
+                             f'pretrained={pretrained}')
+        prefix = find_backbone_prefix(variables)
+        if prefix is None:
+            raise ValueError('no ResNet backbone found in the model '
+                             'variables to receive pretrained weights')
+        variables, reports['pretrained'] = import_torchvision_resnet(
+            sd, depth, target_variables=variables, prefix=prefix,
+            verbose=verbose)
+
+    if load_img_from:
+        sd = load_state_dict(load_img_from)
+        if _looks_like_torchvision_resnet(sd):
+            depth = resnet_depth
+            if depth is None:
+                # infer from block count: layer4.{j}. max index
+                import re
+
+                idx = [int(m.group(1)) for k in sd
+                       for m in [re.match(r'layer4\.(\d+)\.', k)] if m]
+                n4 = max(idx) + 1 if idx else 0
+                has_bn3 = any('.bn3.' in k for k in sd)
+                depth = ({2: 18, 3: 34}.get(n4, 34) if not has_bn3
+                         else {3: 101 if any(
+                             k.startswith('layer3.22.') for k in sd)
+                             else 50}.get(n4, 50))
+            prefix = find_backbone_prefix(variables)
+            if prefix is None:
+                raise ValueError('no ResNet backbone found in the model '
+                                 'variables for load_img_from')
+            variables, reports['load_img_from'] = import_torchvision_resnet(
+                sd, depth, target_variables=variables, prefix=prefix,
+                verbose=verbose)
+        else:
+            # mm-style detector checkpoint: rename-rule import.  When
+            # the model names its backbone structurally (nn.compact
+            # auto-names), rewrite the rule targets onto the located
+            # subtree.
+            rules = LOAD_IMG_FROM_RULES
+            prefix = find_backbone_prefix(variables)
+            if prefix is not None and prefix[:1] != ('img_backbone',):
+                # nn.compact auto-named backbone: retarget the backbone
+                # rules onto the located subtree (neck keys fall through
+                # to the literal rules and are reported as skipped when
+                # the model has no 'img_neck' path).
+                rules = tuple(
+                    (t, prefix) if f == ('img_backbone',) else (t, f)
+                    for t, f in LOAD_IMG_FROM_RULES)
+            variables, reports['load_img_from'] = import_by_rules(
+                variables, sd, rules, verbose=verbose)
+    return variables, reports
 LOAD_PTS_FROM_RULES = (
     ('backbone', ('pts_backbone',)),
     ('neck', ('pts_neck',)),

@@ -170,3 +170,62 @@ class TestGlobalRotScaleTransImage:
         np.testing.assert_allclose(nb[0, 6], -0.2 + np.pi)
         np.testing.assert_allclose(nb[0, 7], -1.0)
         np.testing.assert_allclose(nb[0, 8], 0.5)
+
+
+class TestHSVFaithful:
+    """VERDICT r2 #8: HSV-space photometric ops verified against the
+    cv2 float-image HSV reference (the space mmcv.bgr2hsv uses)."""
+
+    def test_rgb_hsv_roundtrip_matches_cv2(self):
+        import cv2
+
+        from omnihd_scenes_tpu.data.augmentation import (hsv_to_rgb,
+                                                         rgb_to_hsv)
+
+        rng = np.random.RandomState(0)
+        img = rng.uniform(0, 255, (16, 16, 3)).astype(np.float32)
+        h, s, v = rgb_to_hsv(img)
+        want = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+        np.testing.assert_allclose(h, want[..., 0], atol=1e-3)
+        np.testing.assert_allclose(s, want[..., 1], atol=1e-5)
+        np.testing.assert_allclose(v, want[..., 2], atol=1e-4)
+        back = hsv_to_rgb(h, s, v)
+        np.testing.assert_allclose(back, img, atol=1e-3)
+
+    def test_hue_shift_matches_cv2_pipeline(self):
+        import cv2
+
+        from omnihd_scenes_tpu.data.augmentation import (hsv_to_rgb,
+                                                         rgb_to_hsv)
+
+        rng = np.random.RandomState(1)
+        img = rng.uniform(0, 255, (8, 8, 3)).astype(np.float32)
+        delta = 14.0
+        # cv2 reference path (the reference's mmcv.bgr2hsv route).
+        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+        hsv[..., 0] = np.mod(hsv[..., 0] + delta, 360.0)
+        hsv[..., 1] *= 1.2
+        want = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+        h, s, v = rgb_to_hsv(img)
+        got = hsv_to_rgb(np.mod(h + delta, 360.0), s * 1.2, v)
+        np.testing.assert_allclose(got, want, atol=1e-2)
+
+    def test_distortion_preserves_normalization_identity(self):
+        """With every p=0.5 branch skipped the denorm/renorm sandwich
+        must be exact identity."""
+        from omnihd_scenes_tpu.data import augmentation as A
+
+        class NoOpRng:
+            def randint(self, n):
+                return 0
+
+            def uniform(self, *a, **k):     # pragma: no cover
+                raise AssertionError('no draw expected')
+
+            def permutation(self, n):       # pragma: no cover
+                raise AssertionError('no draw expected')
+
+        rng = np.random.RandomState(7)
+        imgs = rng.randn(2, 6, 6, 3).astype(np.float32)
+        out = A.photometric_distortion(imgs, NoOpRng())
+        np.testing.assert_allclose(out, imgs, atol=1e-4)

@@ -93,13 +93,61 @@ class TestGraftEntry:
     def test_dryrun_multichip_cpu(self):
         import __graft_entry__ as g
 
+        g.dryrun_multichip(8, flagship=False)
+
+    @pytest.mark.slow
+    def test_dryrun_flagship(self):
+        """The driver-run path: flagship BEVFusion (DepthNet + einsum
+        sampling transform) through a sharded train step on the 4x2
+        data x model mesh."""
+        import __graft_entry__ as g
+
         g.dryrun_multichip(8)
 
     @pytest.mark.slow
     def test_dryrun_subset(self):
         import __graft_entry__ as g
 
-        g.dryrun_multichip(4)
+        g.dryrun_multichip(4, flagship=False)
+
+
+class TestLSSShardedCompose:
+    def test_lss_sample_bev_composes_with_data_sharding(self):
+        """The model's view-transform pattern (static per-sample loop
+        over lss_sample_bev) partitions correctly under a data-sharded
+        mesh: jit over batch-sharded inputs == unsharded reference.
+        einsum impl is the documented multi-chip path (pallas_call does
+        not compose with GSPMD partitioning)."""
+        from omnihd_scenes_tpu.ops.lss_project import lss_sample_bev
+
+        b, n_cam, f_h, f_w, d_bins, c_ch = 8, 2, 4, 6, 4, 8
+        rng = np.random.RandomState(0)
+        depth = rng.rand(b, n_cam, f_h, f_w, d_bins).astype(np.float32)
+        feat = rng.randn(b, n_cam, f_h, f_w, c_ch).astype(np.float32)
+        rots = np.tile(np.eye(3, dtype=np.float32) * 0.05,
+                       (b, n_cam, 1, 1))
+        trans = rng.randn(b, n_cam, 3).astype(np.float32) * 0.1
+
+        kw = dict(image_size=(32, 48), depth_range=(1.0, 5.0, 1.0),
+                  bev_start=(-8.0, -8.0, -1.0), bev_voxel=(1.0, 1.0, 2.0),
+                  bev_nx=(16, 16, 2), solve_x=(True, False),
+                  impl='einsum')
+
+        def batched(dp, ft, r, t):
+            return jnp.stack([
+                lss_sample_bev(dp[i], ft[i], r[i], t[i], **kw)
+                for i in range(b)])
+
+        ref = np.asarray(jax.jit(batched)(depth, feat, rots, trans))
+
+        mesh = make_mesh()
+        batch = shard_batch({'depth': depth, 'feat': feat,
+                             'rots': rots, 'trans': trans}, mesh)
+        with mesh:
+            got = jax.jit(batched)(batch['depth'], batch['feat'],
+                                   batch['rots'], batch['trans'])
+        np.testing.assert_allclose(np.asarray(got), ref,
+                                   rtol=1e-5, atol=1e-5)
 
 
 class TestTensorParallel:

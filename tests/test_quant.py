@@ -237,3 +237,59 @@ def test_predict_fn_with_quant_extra_variables():
     quant.set_mode('off')
     assert boxes_q.shape == boxes_f.shape
     assert _cosine(scores_q, scores_f) > 0.99
+
+
+def test_bevformer_stream_predict_with_quant_extra_variables():
+    """tools/test.py --int8 on a bevformer config (ADVICE r2 medium):
+    the streaming predict builders must thread the quant collection —
+    calibrated via the streaming forward — through every apply, and the
+    int8 stream must stay close to float."""
+    from omnihd_scenes_tpu.models.bevformer.detector import (
+        BEVFormerConfig, BEVFormerDetector)
+    from omnihd_scenes_tpu.train.builder import (
+        make_predict_fn_generic, make_predict_stream_batched)
+
+    cfg = BEVFormerConfig(
+        bev_h=8, bev_w=12, num_query=16, embed_dims=32,
+        encoder_layers=1, decoder_layers=2, num_cams=2, queue_length=2,
+        pc_range=(-8, -8, -3.0, 8, 8, 5.0),
+        resnet_depth=18, resnet_out_indices=(3,), img_hw=(32, 48))
+    model = BEVFormerDetector(cfg)
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(2, 32, 48, 3).astype(np.float32)
+    can_bus = np.zeros((18,), np.float32)
+    l2i = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    bev_shape = (cfg.bev_h * cfg.bev_w, cfg.embed_dims)
+    prev = np.zeros(bev_shape, np.float32)
+    has_prev = np.asarray(False)
+
+    variables = model.init(jax.random.PRNGKey(0), imgs, can_bus, l2i,
+                           prev, has_prev,
+                           method=BEVFormerDetector.forward_stream)
+    p, s = variables['params'], variables.get('batch_stats', {})
+
+    fn_f = make_predict_fn_generic(model, 'bevformer')
+    boxes_f, bev_f = fn_f(p, s, imgs, can_bus, l2i, prev, has_prev)
+
+    quant.set_mode('calib')
+    _, muts = model.apply(variables, imgs, can_bus, l2i, prev, has_prev,
+                          mutable=['quant'],
+                          method=BEVFormerDetector.forward_stream)
+    assert jax.tree.leaves(muts['quant']), 'calibration collected nothing'
+    quant.set_mode('int8')
+    qv = {'quant': muts['quant']}
+    fn_q = make_predict_fn_generic(model, 'bevformer',
+                                   extra_variables=qv)
+    boxes_q, bev_q = fn_q(p, s, imgs, can_bus, l2i, prev, has_prev)
+
+    fn_b = make_predict_stream_batched(model, extra_variables=qv)
+    boxes_b, bev_b = fn_b(p, s, imgs[None], can_bus[None], l2i[None],
+                          prev[None], np.asarray([False]))
+    quant.set_mode('off')
+
+    assert _cosine(bev_q, bev_f) > 0.98
+    # Batched path applies the same quantized graph as the single path.
+    np.testing.assert_allclose(np.asarray(bev_b[0]), np.asarray(bev_q),
+                               rtol=2e-4, atol=2e-4)
+    assert np.isfinite(np.asarray(jax.tree.leaves(boxes_q)[0])).all()
+    del boxes_b, boxes_f

@@ -182,3 +182,126 @@ def test_import_by_rules_generic_convs():
     np.testing.assert_array_equal(
         merged['batch_stats']['norm']['mean'],
         sd['img.norm.running_mean'])
+
+
+# ---------------------------------------------------------------------------
+# Experiment-workflow wiring (reference tools/train.py:276-428): config
+# keys load_img_from / pretrained route through apply_pretrained into
+# the model tree, including compact-module (auto-named) backbones, and
+# the training CLI logs the per-key report.
+# ---------------------------------------------------------------------------
+
+def test_apply_pretrained_compact_backbone_parity(torch_net_and_sd,
+                                                  tmp_path):
+    """find_backbone_prefix locates an auto-named (nn.compact) ResNet
+    and the imported block matches the torch forward numerically."""
+    import flax.linen as nn
+
+    from omnihd_scenes_tpu.train.torch_import import (apply_pretrained,
+                                                      find_backbone_prefix)
+
+    net, sd = torch_net_and_sd
+
+    class Wrapper(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            feats = ResNet(depth=18, out_indices=(0, 1, 2, 3),
+                           frozen_bn=True)(x, train=train)
+            return feats
+
+    model = Wrapper()
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 64, 96, 3).astype(np.float32)
+    variables = jax.tree.map(np.asarray, dict(model.init(
+        jax.random.PRNGKey(0), x)))
+
+    prefix = find_backbone_prefix(variables)
+    assert prefix == ('ResNet_0',)
+
+    pth = str(tmp_path / 'resnet18.pth')
+    torch.save(net.state_dict(), pth)
+    merged, reports = apply_pretrained(variables, load_img_from=pth,
+                                       resnet_depth=18, verbose=False)
+    rep = reports['load_img_from']
+    # 100% backbone coverage.
+    assert len(rep['loaded']) == len(resnet_name_map(18))
+    assert not rep['missing'] and not rep['mismatched']
+
+    got = model.apply(merged, x, train=False)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), w.numpy().transpose(0, 2, 3, 1),
+            rtol=2e-4, atol=2e-4)
+
+
+def test_pretrained_torchvision_scheme(torch_net_and_sd, tmp_path,
+                                       monkeypatch):
+    """pretrained='torchvision://resnet18' resolves against the local
+    torch-hub cache (no egress here)."""
+    from omnihd_scenes_tpu.train.torch_import import (apply_pretrained,
+                                                      resolve_pretrained_path)
+
+    net, sd = torch_net_and_sd
+    hub = tmp_path / 'hub' / 'checkpoints'
+    hub.mkdir(parents=True)
+    torch.save(net.state_dict(), str(hub / 'resnet18-f37072fd.pth'))
+    monkeypatch.setenv('TORCH_HOME', str(tmp_path))
+
+    assert resolve_pretrained_path(
+        'torchvision://resnet18').endswith('resnet18-f37072fd.pth')
+
+    model = ResNet(depth=18, out_indices=(3,), frozen_bn=True)
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    variables = jax.tree.map(np.asarray, dict(model.init(
+        jax.random.PRNGKey(0), x)))
+    merged, reports = apply_pretrained(
+        variables, pretrained='torchvision://resnet18', verbose=False)
+    rep = reports['pretrained']
+    assert len(rep['loaded']) == len(resnet_name_map(18))
+    assert not rep['missing'] and not rep['mismatched']
+
+    with pytest.raises(FileNotFoundError):
+        monkeypatch.setenv('TORCH_HOME', str(tmp_path / 'nope'))
+        resolve_pretrained_path('torchvision://resnet18')
+
+
+@pytest.mark.slow
+def test_cli_load_img_from_logs_full_coverage(torch_net_and_sd,
+                                              synthetic_dataroot,
+                                              tmp_path, monkeypatch):
+    """The actual CLI path: tools.train on a config with
+    load_img_from=<torchvision-format .pth> loads the full backbone and
+    logs the per-key report (reference tools/train.py:306-315)."""
+    import json
+    import sys
+
+    from omnihd_scenes_tpu.devkit.converter import create_newscenes_infos
+    from omnihd_scenes_tpu.tools import train as train_cli
+
+    net, sd = torch_net_and_sd
+    pth = str(tmp_path / 'resnet18.pth')
+    torch.save(net.state_dict(), pth)
+
+    infos = str(tmp_path / 'infos')
+    create_newscenes_infos(synthetic_dataroot, infos, 'synth',
+                           version='v1.0-mini', max_sweeps=2)
+    work = str(tmp_path / 'work')
+    monkeypatch.setattr(sys, 'argv', [
+        'train.py', 'configs/synthetic/bevfusion_synth.py',
+        '--no-validate', '--work-dir', work, '--cfg-options',
+        f'dataroot={synthetic_dataroot}',
+        f'load_img_from={pth}',
+        f'data.train.ann_file={infos}/synth_infos_temporal_train.pkl',
+        f'data.val.ann_file={infos}/synth_infos_temporal_val.pkl',
+    ])
+    train_cli.main()
+
+    recs = [json.loads(line) for line in
+            open(f'{work}/train.log.json')]
+    rep = [r for r in recs if r.get('mode') == 'load_img_from']
+    assert rep, recs
+    assert rep[0]['loaded'] == len(resnet_name_map(18))
+    assert rep[0]['missing'] == 0 and rep[0]['mismatched'] == 0
+    assert any(r.get('mode') == 'done' for r in recs)

@@ -46,7 +46,7 @@ class TestAlgo:
         for t in range(3, len(pred)):
             pred[t][0].tracking_id = 'pb'
             pred[t][1].tracking_id = 'pa'
-        counts = accumulate_class(gt, pred, 2.0, score_thr=0.0)
+        counts = accumulate_class([gt], [pred], 2.0, score_thr=0.0)
         assert counts['ids'] == 2
         res = amota_amotp(gt, pred, dist_th=2.0)
         gt2, pred2 = self._frames()
@@ -58,7 +58,7 @@ class TestAlgo:
         gt, pred = self._frames()
         pred = [[p for p in frame if p.tracking_id == 'pa']
                 for frame in pred]
-        counts = accumulate_class(gt, pred, 2.0, score_thr=0.0)
+        counts = accumulate_class([gt], [pred], 2.0, score_thr=0.0)
         assert counts['recall'] == pytest.approx(0.5)
 
     def test_empty_predictions(self):
@@ -92,3 +92,92 @@ class TestTrackingEvalE2E:
         assert metrics['amota'] > 0.95, metrics['amota']
         assert metrics['mota'] > 0.99
         assert (tmp_path / 'tracking_metrics.json').exists()
+
+
+class TestScenarioTable:
+    """Reference scenarios.py methodology: hand-built track timelines
+    with known MT/ML/FRAG/TID/LGD/FAF values."""
+
+    def _scene(self, hit_pattern, extra_fp=0):
+        """One GT track over len(hit_pattern) frames; pred present on
+        frames where hit_pattern[i] is truthy (+ optional far FPs)."""
+        gt, pred = [], []
+        for t, hit in enumerate(hit_pattern):
+            gt.append([_box(str(t), 'g0', (t * 1.0, 0))])
+            frame = []
+            if hit:
+                frame.append(_box(str(t), 'p0', (t * 1.0 + 0.1, 0)))
+            for k in range(extra_fp):
+                frame.append(_box(str(t), f'fp{k}', (50.0 + k, 30)))
+            pred.append(frame)
+        return gt, pred
+
+    def test_late_init_tid_and_leading_gap_lgd(self):
+        gt, pred = self._scene([0, 0, 1, 1, 1, 1, 1, 1, 1, 1])
+        c = accumulate_class([gt], [pred], 2.0, score_thr=0.0)
+        assert c['tid'] == pytest.approx(1.0)    # 2 frames x 0.5 s
+        assert c['lgd'] == pytest.approx(1.0)    # leading gap counts
+        assert c['frag'] == 0                    # no mid-track break
+        assert c['mt'] == 1 and c['ml'] == 0     # 8/10 = 0.8 tracked
+
+    def test_fragmentation_and_longest_gap(self):
+        gt, pred = self._scene([1, 1, 1, 0, 0, 1, 1, 0, 0, 1])
+        c = accumulate_class([gt], [pred], 2.0, score_thr=0.0)
+        assert c['frag'] == 2
+        assert c['lgd'] == pytest.approx(1.0)    # longest gap: 2 frames
+        assert c['tid'] == pytest.approx(0.0)
+        assert c['mt'] == 0 and c['ml'] == 0     # 6/10 tracked
+
+    def test_mostly_lost_and_untracked(self):
+        gt, pred = self._scene([1, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+        c = accumulate_class([gt], [pred], 2.0, score_thr=0.0)
+        assert c['ml'] == 1 and c['mt'] == 0
+
+        gt2, pred2 = self._scene([0] * 10)
+        c2 = accumulate_class([gt2], [pred2], 2.0, score_thr=0.0)
+        assert c2['ml'] == 1
+        assert np.isnan(c2['tid']) and np.isnan(c2['lgd'])
+
+    def test_faf_counts_false_alarms_per_frame(self):
+        gt, pred = self._scene([1] * 10, extra_fp=2)
+        c = accumulate_class([gt], [pred], 2.0, score_thr=0.0)
+        assert c['fp'] == 20
+        assert c['faf'] == pytest.approx(200.0)  # fp/frames x 100
+
+    def test_scene_isolation(self):
+        """Track timelines and identity state do not leak across
+        scenes: two scenes with the same ids count independently."""
+        gt, pred = self._scene([1] * 5)
+        c = accumulate_class([gt, gt], [pred, pred], 2.0, score_thr=0.0)
+        assert c['mt'] == 2 and c['ids'] == 0
+
+    def test_curve_and_summary_shapes(self):
+        from omnihd_scenes_tpu.eval.tracking.algo import (MD_FIELDS,
+                                                          accumulate_curve,
+                                                          summarize_curve)
+        from omnihd_scenes_tpu.eval.tracking.data_classes import (
+            TRACKING_METRICS)
+
+        gt, pred = self._scene([1, 1, 1, 0, 1, 1, 1, 1, 1, 1])
+        md = accumulate_curve([gt], [pred], 2.0, nelem=10)
+        assert set(md) == set(MD_FIELDS)
+        assert all(len(md[f]) == 10 for f in md)
+        summary = summarize_curve(md, 2.0)
+        # Full reference metric-name coverage.
+        assert set(TRACKING_METRICS) - {'motar'} <= set(summary) | {'gt'}
+        for name in ('amota', 'amotp', 'mota', 'motp', 'mt', 'ml',
+                     'faf', 'tp', 'fp', 'fn', 'ids', 'frag', 'tid',
+                     'lgd', 'recall'):
+            assert name in summary, name
+
+    def test_render_artifacts(self, tmp_path):
+        from omnihd_scenes_tpu.eval.tracking.algo import accumulate_curve
+        from omnihd_scenes_tpu.eval.tracking.render import (
+            CURVE_METRICS, render_tracking_curves)
+
+        gt, pred = self._scene([1] * 8)
+        md = accumulate_curve([gt], [pred], 2.0, nelem=5)
+        render_tracking_curves({'car': md}, str(tmp_path))
+        assert (tmp_path / 'plots' / 'summary.png').exists()
+        for m in CURVE_METRICS:
+            assert (tmp_path / 'plots' / f'{m}.png').exists()
