@@ -27,10 +27,11 @@ NOMINAL_A100_SAMPLES_PER_SEC = 15.0
 N_ITERS = 16
 
 
-def main_train():
-    """--train: BEVFusion train-step throughput (fwd+bwd+optimizer),
-    bf16-compute / f32-state policy, N steps chained inside one jit
-    (state carried through the loop is a real data dependency)."""
+def main_train(batch: int = 1):
+    """--train [--batch N]: BEVFusion train-step throughput
+    (fwd+bwd+optimizer), bf16-compute / f32-state policy, N steps
+    chained inside one jit (state carried through the loop is a real
+    data dependency)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -44,7 +45,7 @@ def main_train():
     cfg = BEVFusionConfig()
     model = BEVFusion(cfg)
 
-    b, n_pts, max_gt = 1, 40000, 64
+    b, n_pts, max_gt = batch, 40000, 64
     rng = np.random.RandomState(0)
     batch = {
         'points': rng.uniform(-50, 50, (b, n_pts, 8)).astype(np.float32),
@@ -76,8 +77,13 @@ def main_train():
     def bench_loop(p, o, s, bt):
         def body(i, carry):
             p_c, o_c, s_c = carry
+            # Chain the evolving params into the (otherwise constant)
+            # point cloud: voxelize touches no params, so with a fixed
+            # batch XLA hoists its sort out of the loop (licm).
+            eps = jax.tree.leaves(p_c)[0].ravel()[0] * 1e-30
+            bt_i = dict(bt, points=bt['points'] + eps)
             (loss, (_, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(p_c, s_c, bt)
+                loss_fn, has_aux=True)(p_c, s_c, bt_i)
             updates, o_n = tx.update(grads, o_c, p_c)
             return (optax.apply_updates(p_c, updates), o_n, new_stats)
         p_f, _, _ = jax.lax.fori_loop(0, N_ITERS, body, (p, o, s))
@@ -88,9 +94,11 @@ def main_train():
     float(bench_loop(params, opt_state, stats, dev_batch))
     dt = time.perf_counter() - t0
     print(json.dumps({
-        'metric': 'bevfusion_train_step_samples_per_sec',
+        'metric': 'bevfusion_train_step_samples_per_sec'
+                  + (f'_b{b}' if b != 1 else ''),
         'value': round(N_ITERS * b / dt, 2),
         'unit': 'samples/sec/chip',
+        'batch': b,
         'vs_baseline': None,
     }))
 
@@ -145,7 +153,11 @@ def main_bevformer(batch: int = 1):
     @jax.jit
     def bench_loop(p, s, im, cb, li, bev0):
         def body(i, bev):
-            boxes, new_bev = predict(p, s, im, cb, li, bev,
+            # Chain the carry into the images too: a loop-invariant
+            # `im` lets XLA hoist the whole R50 backbone out of the
+            # timing loop (see main()'s licm note).
+            im_i = im + bev.ravel()[0].astype(im.dtype) * 1e-30
+            boxes, new_bev = predict(p, s, im_i, cb, li, bev,
                                      jnp.asarray(True))
             # Fold the decode outputs into the carry so XLA cannot
             # dead-code-eliminate the NMS-free decode being measured.
@@ -179,7 +191,14 @@ def main(int8: bool = False, batch: int = 1):
     from omnihd_scenes_tpu.models.bevfusion import (BEVFusion,
                                                     BEVFusionConfig)
 
-    cfg = BEVFusionConfig()          # full-scale flagship
+    from omnihd_scenes_tpu.models.detectors import PointPillarsConfig
+
+    # Full-scale flagship in its serving configuration: the sort-free
+    # dense pillar path (checkpoint-compatible with the 'sorted'
+    # training path; parity tested in tests/test_dense_pillars.py,
+    # measured 2.7 vs 4.5 ms/sample on v5e — BENCH.md round 3).
+    cfg = BEVFusionConfig(
+        pillars=PointPillarsConfig(pillar_impl='dense'))
     model = BEVFusion(cfg)
 
     n_pts, b = 40000, batch
@@ -234,9 +253,17 @@ def main(int8: bool = False, batch: int = 1):
     @jax.jit
     def bench_loop(p, s, qv, pts, msk, im, r, t, anc):
         def body(i, carry):
-            im_i = im + carry * 1e-30   # chain: forces sequential iters
+            # Chain the carry into EVERY per-sample input: a branch fed
+            # only loop-invariant operands gets hoisted out of the while
+            # loop by XLA's licm and amortized over N_ITERS — chaining
+            # only `im` silently excluded the whole radar branch
+            # (~4 ms/sample) from rounds 1-2 numbers.  rots/trans stay
+            # invariant deliberately: static rig calibration is
+            # legitimately precomputed in serving.
+            im_i = im + carry * 1e-30
+            pts_i = pts + carry * 1e-30
             out = model.apply({'params': p, 'batch_stats': s, **qv},
-                              pts, msk, im_i, r, t, train=False)
+                              pts_i, msk, im_i, r, t, train=False)
             boxes, scores, labels, valid = jax.vmap(
                 lambda c, b, d, a: anchor_head_get_bboxes(
                     c.astype(jnp.float32), b.astype(jnp.float32),
@@ -271,7 +298,10 @@ def main(int8: bool = False, batch: int = 1):
 
 if __name__ == '__main__':
     if '--train' in sys.argv:
-        main_train()
+        b = 1
+        if '--batch' in sys.argv:
+            b = int(sys.argv[sys.argv.index('--batch') + 1])
+        main_train(batch=b)
     elif '--bevformer' in sys.argv:
         b = 1                  # latency mode; --batch N = scene-parallel
         if '--batch' in sys.argv:

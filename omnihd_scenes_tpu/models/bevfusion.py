@@ -33,7 +33,8 @@ from omnihd_scenes_tpu.models.detectors import PointPillarsConfig
 from omnihd_scenes_tpu.models.fpnc import FPNC
 from omnihd_scenes_tpu.models.layers import ConvBNReLU, SEBlock
 from omnihd_scenes_tpu.models.lss import LiftSplatShoot, LSSConfig
-from omnihd_scenes_tpu.models.pillar_encoders import PillarFeatureNet
+from omnihd_scenes_tpu.models.pillar_encoders import (DensePillarEncoder,
+                                                      PillarFeatureNet)
 from omnihd_scenes_tpu.models.resnet import ResNet
 from omnihd_scenes_tpu.models.second import SECOND, SECONDFPN
 from omnihd_scenes_tpu.ops.voxelize import scatter_to_bev, voxelize
@@ -109,17 +110,28 @@ class BEVFusion(nn.Module):
 
         if cfg.radar_stream and points is not None:
             pc = cfg.pillars
-            vox = jax.vmap(lambda p, m: voxelize(
-                p, m, pc.point_cloud_range, pc.voxel_size, pc.max_voxels,
-                pc.max_points_per_voxel))(points, points_mask)
-            pfn = PillarFeatureNet(
-                feat_channels=pc.pfn_channels, voxel_size=pc.voxel_size,
-                point_cloud_range=pc.point_cloud_range,
-                with_velocity_snr_center=pc.with_velocity_snr_center)
-            pf = pfn(vox.features, vox.num_points, vox.coords, train)
-            pf = jnp.where(vox.valid[..., None], pf, 0.0)
-            canvas = jax.vmap(lambda f, c, v: scatter_to_bev(
-                f, c, v, pc.bev_hw))(pf, vox.coords, vox.valid)
+            if pc.pillar_impl == 'dense':
+                # Sort-free scatter path; same param tree as the
+                # PillarFeatureNet branch (name pinned), see
+                # models/pillar_encoders.py:DensePillarEncoder.
+                canvas = DensePillarEncoder(
+                    feat_channels=pc.pfn_channels, voxel_size=pc.voxel_size,
+                    point_cloud_range=pc.point_cloud_range,
+                    grid_hw=pc.bev_hw,
+                    with_velocity_snr_center=pc.with_velocity_snr_center,
+                    name='PillarFeatureNet_0')(points, points_mask, train)
+            else:
+                vox = jax.vmap(lambda p, m: voxelize(
+                    p, m, pc.point_cloud_range, pc.voxel_size, pc.max_voxels,
+                    pc.max_points_per_voxel))(points, points_mask)
+                pfn = PillarFeatureNet(
+                    feat_channels=pc.pfn_channels, voxel_size=pc.voxel_size,
+                    point_cloud_range=pc.point_cloud_range,
+                    with_velocity_snr_center=pc.with_velocity_snr_center)
+                pf = pfn(vox.features, vox.num_points, vox.coords, train)
+                pf = jnp.where(vox.valid[..., None], pf, 0.0)
+                canvas = jax.vmap(lambda f, c, v: scatter_to_bev(
+                    f, c, v, pc.bev_hw))(pf, vox.coords, vox.valid)
             feats = SECOND(pc.second_layer_nums, pc.second_strides,
                            pc.second_channels)(canvas, train)
             pts_bev = SECONDFPN(pc.fpn_strides, pc.fpn_channels)(feats, train)

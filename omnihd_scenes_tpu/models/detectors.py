@@ -19,7 +19,8 @@ import numpy as np
 
 from omnihd_scenes_tpu.models.anchor_head import Anchor3DHead
 from omnihd_scenes_tpu.models.anchors import aligned_anchor_grid
-from omnihd_scenes_tpu.models.pillar_encoders import PillarFeatureNet
+from omnihd_scenes_tpu.models.pillar_encoders import (DensePillarEncoder,
+                                                      PillarFeatureNet)
 from omnihd_scenes_tpu.models.second import SECOND, SECONDFPN
 from omnihd_scenes_tpu.ops.voxelize import scatter_to_bev, voxelize
 
@@ -32,6 +33,11 @@ class PointPillarsConfig:
     voxel_size: Tuple[float, ...] = (0.25, 0.25, 8.0)
     max_voxels: int = 30000
     max_points_per_voxel: int = 10
+    # 'sorted' = argsort-compacted (max_voxels, max_points) buffers,
+    # exact reference cap semantics (training parity path).  'dense' =
+    # sort-free scatter-add/max straight onto the BEV grid
+    # (DensePillarEncoder) — checkpoint-compatible, inference path.
+    pillar_impl: str = 'sorted'
     bev_hw: Tuple[int, int] = (320, 480)            # y-bins, x-bins
     pfn_channels: Tuple[int, ...] = (64,)
     with_velocity_snr_center: bool = False           # True = RadarPillarNet
@@ -81,23 +87,32 @@ class PointPillars(nn.Module):
     def __call__(self, points: jnp.ndarray, points_mask: jnp.ndarray,
                  train: bool = True):
         cfg = self.cfg
-        vox = jax.vmap(lambda p, m: voxelize(
-            p, m, cfg.point_cloud_range, cfg.voxel_size, cfg.max_voxels,
-            cfg.max_points_per_voxel))(points, points_mask)
+        if cfg.pillar_impl == 'dense':
+            canvas = DensePillarEncoder(
+                feat_channels=cfg.pfn_channels, voxel_size=cfg.voxel_size,
+                point_cloud_range=cfg.point_cloud_range, grid_hw=cfg.bev_hw,
+                with_velocity_snr_center=cfg.with_velocity_snr_center,
+                axis_name=cfg.axis_name,
+                name='PillarFeatureNet_0')(points, points_mask, train)
+        else:
+            vox = jax.vmap(lambda p, m: voxelize(
+                p, m, cfg.point_cloud_range, cfg.voxel_size, cfg.max_voxels,
+                cfg.max_points_per_voxel))(points, points_mask)
 
-        pfn = PillarFeatureNet(
-            feat_channels=cfg.pfn_channels,
-            voxel_size=cfg.voxel_size,
-            point_cloud_range=cfg.point_cloud_range,
-            with_velocity_snr_center=cfg.with_velocity_snr_center,
-            axis_name=cfg.axis_name)
-        pillar_feats = pfn(vox.features, vox.num_points, vox.coords, train)
-        # Zero padded pillars so the scatter stays clean.
-        pillar_feats = jnp.where(vox.valid[..., None], pillar_feats, 0.0)
+            pfn = PillarFeatureNet(
+                feat_channels=cfg.pfn_channels,
+                voxel_size=cfg.voxel_size,
+                point_cloud_range=cfg.point_cloud_range,
+                with_velocity_snr_center=cfg.with_velocity_snr_center,
+                axis_name=cfg.axis_name)
+            pillar_feats = pfn(vox.features, vox.num_points, vox.coords,
+                               train)
+            # Zero padded pillars so the scatter stays clean.
+            pillar_feats = jnp.where(vox.valid[..., None], pillar_feats, 0.0)
 
-        canvas = jax.vmap(
-            lambda f, c, v: scatter_to_bev(f, c, v, cfg.bev_hw))(
-                pillar_feats, vox.coords, vox.valid)      # (B, H, W, C)
+            canvas = jax.vmap(
+                lambda f, c, v: scatter_to_bev(f, c, v, cfg.bev_hw))(
+                    pillar_feats, vox.coords, vox.valid)  # (B, H, W, C)
 
         feats = SECOND(cfg.second_layer_nums, cfg.second_strides,
                        cfg.second_channels, axis_name=cfg.axis_name)(

@@ -121,3 +121,132 @@ class PillarFeatureNet(nn.Module):
             x = PFNLayer(ch, last_layer=(i == n - 1),
                          axis_name=self.axis_name)(x, num_points, train)
         return x  # (V, C)
+
+
+class _PointDenseBNReLU(nn.Module):
+    """Per-point Linear(no bias) -> BN -> ReLU — the PFNLayer compute
+    without the pooling, with identical submodule names (``Dense_0``,
+    ``BatchNorm_0``) so its param tree is interchangeable with
+    :class:`PFNLayer`'s."""
+
+    features: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Dense(self.features, use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, axis_name=self.axis_name)(x)
+        return nn.relu(x)
+
+
+class DensePillarEncoder(nn.Module):
+    """Sort-free pillar encoding: points -> (H, W, C) BEV canvas.
+
+    TPU-native reformulation of voxelize + PillarFeatureNet +
+    PointPillarsScatter (reference ``Voxelization`` CUDA op +
+    ``pillar_encoder.py:301-434`` + ``pts_middle_encoder``): instead of
+    argsort-compacting points into a ``(max_voxels, max_points, D)``
+    buffer, every pillar statistic is computed with dense
+    scatter-add / scatter-max straight onto the BEV grid:
+
+      counts/sums  = scatter-add over linearized pillar ids
+      per-point augmentation (cluster/center/velocity offsets)
+                   = gather of the pillar means back to the points
+      PFN max-pool = scatter-max of the embedded points onto the canvas
+
+    This removes the O(N log^2 N) TPU sort network and shrinks the PFN
+    matmul from (max_voxels * max_points) padded rows to N rows.
+
+    Semantics vs the capped path: ``max_voxels`` / ``max_points_per_
+    voxel`` truncation does NOT apply — every in-range point
+    contributes.  When no pillar exceeds the caps the result is
+    bit-identical to PillarFeatureNet + scatter_to_bev (tested); above
+    the caps the reference drops arbitrary sort-order tails while this
+    keeps everything, which is at least as faithful.  Multi-layer PFNs
+    broadcast the pooled canvas back to the points by gather.
+
+    Parameter tree matches ``PillarFeatureNet`` exactly (``PFNLayer_i/
+    {Dense_0,BatchNorm_0}``), so checkpoints are interchangeable.  BN
+    batch statistics in training mode are computed over the N point
+    rows rather than the padded voxel buffer, so use the capped path
+    for training parity; this encoder is the inference/serving path.
+    """
+
+    feat_channels: Tuple[int, ...] = (64,)
+    voxel_size: Sequence[float] = (0.25, 0.25, 8.0)
+    point_cloud_range: Sequence[float] = (-60, -40, -3.0, 60, 40, 5.0)
+    grid_hw: Tuple[int, int] = (320, 480)
+    with_cluster_center: bool = True
+    with_voxel_center: bool = True
+    with_velocity_snr_center: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, points, points_mask, train: bool = False):
+        # points: (B, N, D) or (N, D) padded; points_mask matches.
+        import jax.numpy as jnp
+
+        squeeze = points.ndim == 2
+        if squeeze:
+            points, points_mask = points[None], points_mask[None]
+        b, n, d = points.shape
+        h, w = self.grid_hw
+        hw = h * w
+        x0, y0, z0, x1, y1, z1 = self.point_cloud_range
+        vx, vy = self.voxel_size[0], self.voxel_size[1]
+        dt = points.dtype
+
+        pts = points.reshape(b * n, d)
+        ix = jnp.floor((pts[:, 0] - x0) / vx).astype(jnp.int32)
+        iy = jnp.floor((pts[:, 1] - y0) / vy).astype(jnp.int32)
+        valid = ((pts[:, 0] >= x0) & (pts[:, 0] < x1)
+                 & (pts[:, 1] >= y0) & (pts[:, 1] < y1)
+                 & (pts[:, 2] >= z0) & (pts[:, 2] < z1)
+                 & points_mask.reshape(b * n).astype(bool))
+        ix = jnp.clip(ix, 0, w - 1)
+        iy = jnp.clip(iy, 0, h - 1)
+        # Fold batch into the pillar id: one scatter over (B*H*W, C).
+        bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+        cell = bidx * hw + iy * w + ix
+        lin = jnp.where(valid, cell, b * hw)           # sentinel -> dropped
+        lin_g = jnp.where(valid, cell, 0)              # safe gather index
+
+        # One scatter-add for every pillar statistic: [1, xyz, (v)].
+        stat_cols = [jnp.ones_like(pts[:, :1]), pts[:, :3]]
+        if self.with_velocity_snr_center:
+            stat_cols.append(pts[:, 3:7])
+        stats = jnp.where(valid[:, None],
+                          jnp.concatenate(stat_cols, axis=-1), 0.0)
+        sums = jnp.zeros((b * hw, stats.shape[-1]), dt).at[lin].add(
+            stats, mode='drop')
+        counts = sums[:, :1]
+        means = sums[:, 1:] / jnp.clip(counts, 1.0, None)
+        pmean = means[lin_g]                            # (B*N, 3 [+4])
+
+        feats = [pts]
+        if self.with_cluster_center:
+            feats.append(pts[:, :3] - pmean[:, :3])
+        if self.with_voxel_center:
+            cx = ix.astype(dt) * vx + (vx / 2 + x0)
+            cy = iy.astype(dt) * vy + (vy / 2 + y0)
+            feats.append(jnp.stack([pts[:, 0] - cx,
+                                    pts[:, 1] - cy], axis=-1))
+        if self.with_velocity_snr_center:
+            feats.append(pts[:, 3:7] - pmean[:, 3:])
+        x = jnp.where(valid[:, None], jnp.concatenate(feats, axis=-1), 0.0)
+
+        n_layers = len(self.feat_channels)
+        canvas = None
+        for i, ch in enumerate(self.feat_channels):
+            x = _PointDenseBNReLU(ch, axis_name=self.axis_name,
+                                  name=f'PFNLayer_{i}')(x, train)
+            neg = jnp.asarray(-jnp.inf, x.dtype)
+            canvas = jnp.full((b * hw, ch), neg, x.dtype).at[lin].max(
+                jnp.where(valid[:, None], x, neg), mode='drop')
+            canvas = jnp.where(counts > 0, canvas, 0.0)
+            if i != n_layers - 1:
+                x = jnp.concatenate([x, canvas[lin_g]], axis=-1)
+                x = jnp.where(valid[:, None], x, 0.0)
+        canvas = canvas.reshape(b, h, w, canvas.shape[-1])
+        return canvas[0] if squeeze else canvas
