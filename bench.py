@@ -291,6 +291,11 @@ def main(int8: bool = False, batch: int = 1):
         # NOMINAL baseline (no measured A100 reference exists;
         # BASELINE.md "Notes"): 15 samples/s A100-class assumption.
         'baseline': 'nominal_a100_15_samples_per_sec',
+        # Round-3 harness fix: earlier rounds let XLA hoist the
+        # loop-invariant radar branch out of the timing loop, inflating
+        # their headline ~1 sample/s (BENCH.md "licm").  Not comparable
+        # to BENCH_r01/r02 values without that correction.
+        'harness': 'licm_fixed_r3',
         'vs_baseline': round(samples_per_sec / NOMINAL_A100_SAMPLES_PER_SEC,
                              3),
     }))

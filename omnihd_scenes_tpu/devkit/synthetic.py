@@ -216,9 +216,46 @@ def generate(dataroot: str, version: str = 'v1.0-mini',
                  np.zeros((len(pts), 1))], axis=1).astype(np.float32)
             lidar.tofile(osp.join(dataroot, lidar_rel))
 
+            # Camera images with REAL signal: each object is rendered
+            # as a class-colored filled box (projected corner hull) over
+            # low-contrast noise, so camera-only detectors can genuinely
+            # learn from the synthetic set (not just memorize noise).
+            # Painter's algorithm by camera-frame depth.
             cams_rel = {}
-            img = rng.randint(0, 255, size=(h, w, 3), dtype=np.uint8)
+            kmat = np.asarray(intrinsic)
             for cam in CAMERA_TYPES:
+                img = rng.randint(96, 160, size=(h, w, 3), dtype=np.uint8)
+                c2e = np.asarray(calib[cam]['camera2ego'],
+                                 np.float64).reshape(4, 4)
+                e2c_r, e2c_t = c2e[:3, :3].T, -c2e[:3, :3].T @ c2e[:3, 3]
+                draws = []
+                for k, (c, yaw, size, _) in enumerate(obj_ego):
+                    cy, sy = np.cos(yaw), np.sin(yaw)
+                    lx, wy, hz = size[0] / 2, size[1] / 2, size[2] / 2
+                    corners = np.array(
+                        [[sx * lx * cy - sy_ * wy * sy + c[0],
+                          sx * lx * sy + sy_ * wy * cy + c[1],
+                          c[2] + sz * hz]
+                         for sx in (-1, 1) for sy_ in (-1, 1)
+                         for sz in (-1, 1)])
+                    pc = (e2c_r @ corners.T).T + e2c_t
+                    vis = pc[:, 2] > 0.5
+                    if vis.sum() < 3:
+                        continue
+                    uv = (kmat @ pc[vis].T).T
+                    uv = uv[:, :2] / uv[:, 2:3]
+                    if (uv[:, 0].max() < 0 or uv[:, 0].min() > w
+                            or uv[:, 1].max() < 0 or uv[:, 1].min() > h):
+                        continue
+                    col_rng = np.random.RandomState(
+                        RAW_CATEGORIES.index(obj_cats[k]) * 7 + 13)
+                    color = tuple(int(v) for v in col_rng.randint(0, 255, 3))
+                    draws.append((float(pc[vis, 2].mean()),
+                                  np.clip(uv, -4 * w, 4 * w)
+                                  .astype(np.int32), color))
+                for _, poly, color in sorted(draws, key=lambda d: -d[0]):
+                    hull = cv2.convexHull(poly.reshape(-1, 1, 2))
+                    cv2.fillConvexPoly(img, hull, color)
                 rel = f'{scene_token}/{cam}/{token}.jpg'
                 cv2.imwrite(osp.join(dataroot, rel), img)
                 cams_rel[cam] = rel
