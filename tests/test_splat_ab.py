@@ -1,0 +1,163 @@
+"""Sampling-vs-exact-splat TRAINING A/B (opt-in: OMNIHD_SLOW_TESTS=1).
+
+VERDICT r2 #5: the headline throughput stands on the sampling-dual view
+transform (``ops/lss_project.py``, Simple-BEV-style nearest-voxel
+sampling) replacing the reference's bilinear splat-sum
+(``bev_pool_cuda.cu:21-48``).  ``test_semantics_vs_exact_splat`` bounds
+the FORWARD deviation; this bounds the end-to-end TRAINING effect: the
+same camera-only LSS detector is trained twice from the same seed and
+data order — once with ``splat_mode='sample'``, once with the exact
+``'scatter'`` — and both must learn the task to high mAP with a small
+final gap.
+
+Calibration notes (why these knobs): with the default 6-sample /
+8-object fixture the task itself is statistically degenerate (1-2
+instances per eval class; both arms plateau below 0.1 mAP and the
+comparison is noise).  The dedicated set below (2 scenes x 12 frames,
+16 objects, class-colored boxes rendered into the cameras) with
+camera depth to 37 m (objects roam +-35 m of the ego) and 400 epochs
+trains the SAME config to >0.94 mAP in either mode on a v5e chip in
+~11 min/arm: sample 0.9771 / scatter 0.9484 (measured round 3,
+PARITY.md "sampling-dual A/B" — the dual is not a training handicap).
+
+Run standalone (writes the PARITY.md evidence):
+    OMNIHD_SLOW_TESTS=1 python -m pytest tests/test_splat_ab.py -s
+or  python tests/test_splat_ab.py            (prints the two mAPs)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get('OMNIHD_SLOW_TESTS') != '1',
+    reason='slow A/B training test; set OMNIHD_SLOW_TESTS=1')
+
+EPOCHS = 400
+LR = 2e-3
+DEPTH_HI = 37.0
+
+
+def _make_data(root):
+    from omnihd_scenes_tpu.devkit.converter import create_newscenes_infos
+    from omnihd_scenes_tpu.devkit.synthetic import (SyntheticConfig,
+                                                    generate)
+
+    dataroot = os.path.join(root, 'data')
+    infos = os.path.join(root, 'infos')
+    pkl = f'{infos}/synth_infos_temporal_train.pkl'
+    if not os.path.exists(pkl):
+        generate(dataroot, 'v1.0-mini',
+                 SyntheticConfig(n_scenes=2, samples_per_scene=12,
+                                 n_objects=16, seed=3))
+        create_newscenes_infos(dataroot, infos, 'synth',
+                               version='v1.0-mini', max_sweeps=0)
+    return dataroot, pkl
+
+
+def _build(splat_mode):
+    from omnihd_scenes_tpu.models.bevfusion import (BEVFusion,
+                                                    BEVFusionConfig)
+    from omnihd_scenes_tpu.models.detectors import PointPillarsConfig
+    from omnihd_scenes_tpu.models.lss import LSSConfig
+
+    cfg = BEVFusionConfig(
+        camera_stream=True, radar_stream=False, lc_fusion=False,
+        se=False, use_depthnet=False, num_views=6, imc=32,
+        resnet_depth=18, resnet_out_indices=(1, 2, 3),
+        lss=LSSConfig(final_dim=(128, 192), downsample=8,
+                      camera_depth_range=(1.0, DEPTH_HI, 1.0),
+                      pc_range=(-60, -40, -3.0, 60, 40, 5.0),
+                      grid=1.0, inputC=32, camC=32, outC=64,
+                      splat_mode=splat_mode, splat_impl='einsum'),
+        # head_hw = bev_hw / second-stride = (80, 120) == the LSS grid.
+        pillars=PointPillarsConfig(
+            point_cloud_range=(-60, -40, -3.0, 60, 40, 5.0),
+            voxel_size=(0.5, 0.5, 8.0), bev_hw=(160, 240)))
+    return BEVFusion(cfg)
+
+
+def _datasets(pkl):
+    from omnihd_scenes_tpu.data.dataset import NewScenesDetDataset
+
+    kw = dict(ann_file=pkl, modality='radar', use_camera=True,
+              image_scale=1.0, front_back_scale=1.0,
+              image_target_hw=(128, 192), max_points=256, max_gt=24)
+    return (NewScenesDetDataset(point_shuffle=True, **kw),
+            NewScenesDetDataset(test_mode=True, **kw))
+
+
+def _train_and_eval(splat_mode, dataroot, pkl, tmp_path):
+    import jax
+
+    from omnihd_scenes_tpu.data.loader import TrainLoader
+    from omnihd_scenes_tpu.models.anchor_head import DecodeCfg
+    from omnihd_scenes_tpu.train.builder import (anchors_for,
+                                                 make_loss_fn_generic,
+                                                 make_predict_fn_generic)
+    from omnihd_scenes_tpu.train.eval_runner import run_inference_generic
+    from omnihd_scenes_tpu.train.loop import (create_train_state,
+                                              make_train_step)
+    from omnihd_scenes_tpu.train.optim import (make_lr_schedule,
+                                               make_optimizer)
+
+    model = _build(splat_mode)
+    train_ds, eval_ds = _datasets(pkl)
+    s0 = train_ds[0]
+    variables = model.init(
+        jax.random.PRNGKey(0), points=None, points_mask=None,
+        imgs=s0['imgs'][None], rots=s0['img2lidar_rots'][None],
+        trans=s0['img2lidar_trans'][None], train=False)
+
+    loader = TrainLoader(train_ds, 4, seed=0)
+    anchors = anchors_for(model, 'lss')
+    tx = make_optimizer(make_lr_schedule(LR, len(loader) * EPOCHS,
+                                         warmup_iters=20))
+    state = create_train_state(variables, tx)
+    step_fn = make_train_step(
+        make_loss_fn_generic(model, 'lss', anchors), tx)
+    for ep in range(EPOCHS):
+        loader.set_epoch(ep)
+        for batch in loader:
+            state, loss, _ = step_fn(state, batch)
+    assert np.isfinite(float(loss)), splat_mode
+
+    predict_fn = make_predict_fn_generic(
+        model, 'lss', anchors, DecodeCfg(nms_pre=512, max_num=128))
+    outputs = run_inference_generic(predict_fn, state, eval_ds, 2, 'lss')
+    metrics = eval_ds.evaluate(
+        outputs['bbox_results'], dataroot=dataroot,
+        version='v1.0-mini', eval_set='train_mini',
+        jsonfile_prefix=str(tmp_path / f'eval_{splat_mode}'))
+    return metrics
+
+
+def test_sample_vs_scatter_training_map(tmp_path_factory, tmp_path):
+    root = str(tmp_path_factory.mktemp('ab_synth'))
+    dataroot, pkl = _make_data(root)
+    m_sample = _train_and_eval('sample', dataroot, pkl, tmp_path)
+    m_scatter = _train_and_eval('scatter', dataroot, pkl, tmp_path)
+    print(f"\nsplat A/B: sample mAP={m_sample['mAP']:.4f} "
+          f"NOS={m_sample['NOS']:.4f} | scatter mAP={m_scatter['mAP']:.4f} "
+          f"NOS={m_scatter['NOS']:.4f}")
+    # Both must actually learn (guards a vacuous 0-vs-0 pass) ...
+    assert m_sample['mAP'] > 0.8, m_sample
+    assert m_scatter['mAP'] > 0.8, m_scatter
+    # ... and the sampling dual must not trail the exact splat by more
+    # than noise (measured r3 on v5e: sample 0.9771, scatter 0.9484 —
+    # sample AHEAD by 2.9 pts; the bound below allows the reverse gap).
+    assert m_sample['mAP'] > m_scatter['mAP'] - 0.05, (
+        m_sample['mAP'], m_scatter['mAP'])
+
+
+if __name__ == '__main__':
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        dataroot, pkl = _make_data(td)
+        m_s = _train_and_eval('sample', dataroot, pkl, Path(td))
+        m_x = _train_and_eval('scatter', dataroot, pkl, Path(td))
+        print(f"sample:  mAP={m_s['mAP']:.4f} NOS={m_s['NOS']:.4f}")
+        print(f"scatter: mAP={m_x['mAP']:.4f} NOS={m_x['NOS']:.4f}")
