@@ -27,11 +27,16 @@ NOMINAL_A100_SAMPLES_PER_SEC = 15.0
 N_ITERS = 16
 
 
-def main_train(batch: int = 1):
-    """--train [--batch N]: BEVFusion train-step throughput
-    (fwd+bwd+optimizer), bf16-compute / f32-state policy, N steps
-    chained inside one jit (state carried through the loop is a real
-    data dependency)."""
+def main_train(batch: int = 1, remat: bool = None):
+    """--train [--batch N] [--remat|--no-remat]: BEVFusion train-step
+    throughput (fwd+bwd+optimizer), bf16-compute / f32-state policy,
+    N steps chained inside one jit (state carried through the loop is a
+    real data dependency).
+
+    remat defaults to on for batch > 1: the un-rematted b=4 step needs
+    22.7 GB of trunk activations vs 15.75 GB v5e HBM; with
+    ``BEVFusionConfig(remat=True)`` the trunks recompute in the
+    backward pass instead (BENCH.md round 3)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -42,7 +47,9 @@ def main_train(batch: int = 1):
     from omnihd_scenes_tpu.train.builder import (anchors_for,
                                                  make_loss_fn_generic)
 
-    cfg = BEVFusionConfig()
+    if remat is None:
+        remat = batch > 1
+    cfg = BEVFusionConfig(remat=remat)
     model = BEVFusion(cfg)
 
     b, n_pts, max_gt = batch, 40000, 64
@@ -99,6 +106,7 @@ def main_train(batch: int = 1):
         'value': round(N_ITERS * b / dt, 2),
         'unit': 'samples/sec/chip',
         'batch': b,
+        'remat': remat,
         'vs_baseline': None,
     }))
 
@@ -306,7 +314,12 @@ if __name__ == '__main__':
         b = 1
         if '--batch' in sys.argv:
             b = int(sys.argv[sys.argv.index('--batch') + 1])
-        main_train(batch=b)
+        remat = None
+        if '--remat' in sys.argv:
+            remat = True
+        elif '--no-remat' in sys.argv:
+            remat = False
+        main_train(batch=b, remat=remat)
     elif '--bevformer' in sys.argv:
         b = 1                  # latency mode; --batch N = scene-parallel
         if '--batch' in sys.argv:

@@ -74,6 +74,14 @@ class BEVFusionConfig:
     se: bool = True
     rc_fusion: str = 'concat'          # 'concat' | 'cross_attention'
     use_depthnet: bool = True          # BEVFUSION_depth variant
+    # Rematerialize (jax.checkpoint) the heavy trunks so training fits
+    # larger per-chip batches: the b=4 train step needs 22.7 GB of
+    # activations un-rematted vs 15.75 GB v5e HBM (bench.py --train).
+    # Trades ~1/3 extra forward FLOPs in the backward pass for dropping
+    # the trunk activations.  Param trees are unchanged — the wrapped
+    # trunks pin their pre-remat auto-names (nn.remat would otherwise
+    # rename the scope) — so checkpoints are interchangeable either way.
+    remat: bool = False
     num_views: int = 6
     imc: int = 256                     # camera BEV channels
     lic: int = 384                     # radar BEV channels
@@ -108,6 +116,11 @@ class BEVFusion(nn.Module):
         pts_bev = None
         depth = depth_logits = None
 
+        def trunk(cls, train_argnum):
+            # `train` is a Python bool -> must be static under remat.
+            return (nn.remat(cls, static_argnums=(train_argnum,))
+                    if cfg.remat else cls)
+
         if cfg.radar_stream and points is not None:
             pc = cfg.pillars
             if pc.pillar_impl == 'dense':
@@ -132,23 +145,29 @@ class BEVFusion(nn.Module):
                 pf = jnp.where(vox.valid[..., None], pf, 0.0)
                 canvas = jax.vmap(lambda f, c, v: scatter_to_bev(
                     f, c, v, pc.bev_hw))(pf, vox.coords, vox.valid)
-            feats = SECOND(pc.second_layer_nums, pc.second_strides,
-                           pc.second_channels)(canvas, train)
-            pts_bev = SECONDFPN(pc.fpn_strides, pc.fpn_channels)(feats, train)
+            feats = trunk(SECOND, 2)(pc.second_layer_nums, pc.second_strides,
+                                     pc.second_channels,
+                                     name='SECOND_0')(canvas, train)
+            pts_bev = trunk(SECONDFPN, 2)(pc.fpn_strides, pc.fpn_channels,
+                                          name='SECONDFPN_0')(feats, train)
 
         cam_bev = None
         if cfg.camera_stream and imgs is not None:
             b, n = imgs.shape[:2]
             flat = imgs.reshape((b * n,) + imgs.shape[2:])
-            stages = ResNet(depth=cfg.resnet_depth,
-                            out_indices=cfg.resnet_out_indices,
-                            frozen_bn=cfg.frozen_backbone_bn)(flat, train)
-            feat = FPNC(out_channels=256, outC=cfg.imc,
-                        target_hw=cfg.lss.feat_hw)(stages, train)
+            stages = trunk(ResNet, 2)(
+                depth=cfg.resnet_depth,
+                out_indices=cfg.resnet_out_indices,
+                frozen_bn=cfg.frozen_backbone_bn,
+                name='ResNet_0')(flat, train)
+            feat = trunk(FPNC, 2)(out_channels=256, outC=cfg.imc,
+                                  target_hw=cfg.lss.feat_hw,
+                                  name='FPNC_0')(stages, train)
             fh, fw = feat.shape[1:3]
             feat = feat.reshape(b, n, fh, fw, -1)
-            cam_bev, depth, depth_logits = LiftSplatShoot(
-                cfg.lss, use_depthnet=cfg.use_depthnet)(
+            cam_bev, depth, depth_logits = trunk(LiftSplatShoot, 4)(
+                cfg.lss, use_depthnet=cfg.use_depthnet,
+                name='LiftSplatShoot_0')(
                     feat, rots, trans, train)
             # LSS grid is (ny, nx) which matches the pillar FPN output
             # orientation (y-major); resize if resolutions differ.

@@ -78,7 +78,14 @@ def _clean_idx(x, valid):
 
 
 class _Geom:
-    """Static geometry bundle shared by both implementations."""
+    """Static geometry bundle shared by both implementations.
+
+    Holds plain NumPy arrays on purpose: a ``jnp`` constant created
+    while tracing a ``jax.checkpoint``-ed function becomes a
+    trace-local constvar, and reusing it from the backward re-trace
+    (via the ``einsum_ref`` closure) raises UnexpectedTracerError.
+    NumPy constants convert freshly at every use-site instead.
+    """
 
     def __init__(self, image_size, feat_hw, depth_range, bev_start,
                  bev_voxel, bev_nx):
@@ -88,17 +95,20 @@ class _Geom:
         self.nx, self.ny, self.nz = (int(v) for v in bev_nx)
         self.v_scale = (self.f_h - 1) / max(self.h_img - 1, 1)
         self.u_scale = (self.f_w - 1) / max(self.w_img - 1, 1)
-        self.ys = jnp.asarray(
-            np.linspace(0, self.h_img - 1, self.f_h, dtype=np.float32))
-        self.xc = jnp.asarray(
+        self.ys = np.linspace(0, self.h_img - 1, self.f_h,
+                              dtype=np.float32)
+        self.xc = np.asarray(
             bev_start[0]
-            + (np.arange(self.nx, dtype=np.float32) + 0.5) * bev_voxel[0])
-        self.yc = jnp.asarray(
+            + (np.arange(self.nx, dtype=np.float32) + 0.5) * bev_voxel[0],
+            np.float32)
+        self.yc = np.asarray(
             bev_start[1]
-            + (np.arange(self.ny, dtype=np.float32) + 0.5) * bev_voxel[1])
-        self.zc = jnp.asarray(
+            + (np.arange(self.ny, dtype=np.float32) + 0.5) * bev_voxel[1],
+            np.float32)
+        self.zc = np.asarray(
             bev_start[2]
-            + (np.arange(self.nz, dtype=np.float32) + 0.5) * bev_voxel[2])
+            + (np.arange(self.nz, dtype=np.float32) + 0.5) * bev_voxel[2],
+            np.float32)
 
 
 def _sample_indices(minv_n, mt_n, solve_axis_x: bool, g: _Geom,
@@ -130,7 +140,7 @@ def _sample_indices(minv_n, mt_n, solve_axis_x: bool, g: _Geom,
         fixed = minv_n[:, 0]
     if b_window is not None:
         off, wd = b_window
-        bc = jax.lax.slice_in_dim(bc, off, off + wd)
+        bc = bc[off:off + wd]          # static host-side slice (bc is np)
     # c[a, k, b] = fixed_a * bc_b + Minv[a,2] * zc_k + mt_a
     cc = (fixed[:, None, None] * bc[None, None, :]
           + minv_n[:, 2][:, None, None] * g.zc[None, :, None]
@@ -330,21 +340,30 @@ def lss_sample_bev(depth: jnp.ndarray,
     if impl == 'pallas':
         from omnihd_scenes_tpu.ops.pallas_splat import sample_bev_pallas
 
+        # The backward reference is parametrized by (minv, mt) EXPLICITLY
+        # (not closed over): sample_bev_pallas threads them through its
+        # custom_vjp residuals, so the whole op stays re-traceable under
+        # jax.checkpoint / nn.remat (a closure over traced geometry
+        # leaks the tracer when remat re-runs the forward).
+        def einsum_ref(d, f, mv, mtt):
+            return _einsum_all(d, f, mv, mtt, geom, solve_x, b_windows,
+                               compute_dtype)
+
         return sample_bev_pallas(depth, feat, minv, mt, geom, solve_x,
                                  b_windows=b_windows,
-                                 einsum_ref=lambda d, f: lss_sample_bev(
-                                     d, f, rots, trans,
-                                     image_size=image_size,
-                                     depth_range=depth_range,
-                                     bev_start=bev_start,
-                                     bev_voxel=bev_voxel, bev_nx=bev_nx,
-                                     solve_x=solve_x,
-                                     b_windows=b_windows,
-                                     compute_dtype=compute_dtype,
-                                     impl='einsum'))
+                                 einsum_ref=einsum_ref)
 
+    return _einsum_all(depth, feat, minv, mt, geom, solve_x, b_windows,
+                       compute_dtype)
+
+
+def _einsum_all(depth, feat, minv, mt, geom, solve_x, b_windows,
+                compute_dtype):
+    """Full einsum-impl forward given preprocessed geometry (minv, mt)."""
+    d_bins = depth.shape[-1]
+    c_ch = feat.shape[-1]
     fp = jnp.concatenate([feat, depth], axis=-1).astype(compute_dtype)
-    acc = jnp.zeros((nz, ny, nx, c_ch), jnp.float32)
+    acc = jnp.zeros((geom.nz, geom.ny, geom.nx, c_ch), jnp.float32)
     # Static per-camera loop: solve_x branches have different shapes.
     for n, sx in enumerate(solve_x):
         win = None if b_windows is None else b_windows[n]

@@ -182,8 +182,11 @@ def sample_bev_pallas(depth, feat, minv, mt, geom, solve_x: Sequence[bool],
     ``b_windows`` (static per-camera (offset, width) FOV windows on the
     b axis) shrink every kernel proportionally; cameras are grouped by
     (solve_x, window) so kernel B's in-VMEM accumulation over the group
-    stays valid.  ``einsum_ref(depth, feat)`` supplies the backward
-    pass (the XLA implementation's VJP).
+    stays valid.  ``einsum_ref(depth, feat, minv, mt)`` supplies the
+    backward pass (the XLA implementation's VJP); it must take the
+    geometry EXPLICITLY — (minv, mt) ride the custom_vjp residuals so
+    no tracer is captured in a closure, keeping this op re-traceable
+    under ``jax.checkpoint`` / ``nn.remat``.
     """
     from omnihd_scenes_tpu.ops.lss_project import _sample_indices
 
@@ -193,7 +196,7 @@ def sample_bev_pallas(depth, feat, minv, mt, geom, solve_x: Sequence[bool],
     cf = _round_up(c_ch, 64)
     cd = _round_up(d_bins, 64)
 
-    def forward(depth_in, feat_in):
+    def forward(depth_in, feat_in, minv, mt):
         # Pack feat + depth into one lane dimension (no lane slicing in
         # the kernels; the depth bin is selected with a lane mask).
         fp = jnp.concatenate([
@@ -238,12 +241,22 @@ def sample_bev_pallas(depth, feat, minv, mt, geom, solve_x: Sequence[bool],
         return acc
 
     if einsum_ref is None:
-        return forward(depth, feat)
+        return forward(depth, feat, minv, mt)
 
     @jax.custom_vjp
-    def f(d, ft):
-        return forward(d, ft)
+    def f(d, ft, mv, mtt):
+        return forward(d, ft, mv, mtt)
 
-    f.defvjp(lambda d, ft: (forward(d, ft), (d, ft)),
-             lambda res, g: jax.vjp(einsum_ref, *res)[1](g))
-    return f(depth, feat)
+    def f_fwd(d, ft, mv, mtt):
+        return forward(d, ft, mv, mtt), (d, ft, mv, mtt)
+
+    def f_bwd(res, g):
+        d, ft, mv, mtt = res
+        gd, gf = jax.vjp(
+            lambda dd, ff: einsum_ref(dd, ff, mv, mtt), d, ft)[1](g)
+        # Geometry gradients are identically zero: (minv, mt) reach the
+        # output only through round()-ed integer index fields.
+        return gd, gf, jnp.zeros_like(mv), jnp.zeros_like(mtt)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(depth, feat, minv, mt)
