@@ -169,13 +169,41 @@ class MSDeformableAttention3D(nn.Module):
         return multi_scale_deformable_attn(v, spatial_shapes, loc, weights)
 
 
+def sca_cap_overflow(bev_mask: jnp.ndarray, query_cap: float) -> jnp.ndarray:
+    """Number of hit queries dropped by a given SCA ``query_cap``.
+
+    bev_mask: (num_cam, nq, num_z) bool.  Returns a scalar int — the
+    total count, over cameras, of queries that project into the camera
+    but exceed its static capacity.  0 means the capped rebatching is
+    exactly equivalent to the dense formulation for this geometry."""
+    hit = jnp.any(bev_mask, axis=-1)
+    nq = hit.shape[1]
+    k = min(nq, int(np.ceil(nq * query_cap)))
+    hits_per_cam = jnp.sum(hit, axis=1)
+    return jnp.sum(jnp.maximum(hits_per_cam - k, 0))
+
+
 class SpatialCrossAttention(nn.Module):
     """BEV queries attend to camera features at projected pillar refs.
 
-    Dense masked formulation: deformable attention runs for every
-    (camera, query) pair; ``bev_mask`` (num_cam, nq) marks queries whose
-    pillar hits the camera, contributions are masked and normalized by
-    hit count exactly like the reference (``:167-174``).
+    Two equivalent formulations of the reference's per-camera query
+    rebatching (``spatial_cross_attention.py:136-154``):
+
+    - ``query_cap >= 1`` — masked dense: deformable attention runs for
+      every (camera, query) pair; ``bev_mask`` zeroes invalid
+      contributions before the hit-count normalization (``:167-174``).
+    - ``query_cap < 1`` — static-capacity rebatching, the TPU analogue
+      of the reference's dynamic ``max_len`` padding: each camera
+      attends only to its top ``ceil(nq * query_cap)`` queries by hit
+      priority (hits first, ascending query index), gathered to a fixed
+      shape, then scatter-added back to the BEV.  Cuts the deformable
+      gather rows (the measured BEVFormer bottleneck, BENCH.md) by
+      ~1/query_cap.  Exactly equal to the dense path whenever no
+      camera's hit count exceeds the cap (checked by
+      :func:`sca_cap_overflow`; on the production omnidirectional rig
+      each ~64-100 deg camera sees ~20-30% of the BEV).  Overflowing
+      hit queries (cap too small) lose that camera's contribution but
+      keep the exact hit-count normalizer.
     """
 
     embed_dims: int = 256
@@ -183,6 +211,7 @@ class SpatialCrossAttention(nn.Module):
     num_heads: int = 8
     num_levels: int = 1
     num_points: int = 8
+    query_cap: float = 1.0
 
     @nn.compact
     def __call__(self, query, cam_values, reference_points_cam, bev_mask,
@@ -198,23 +227,51 @@ class SpatialCrossAttention(nn.Module):
             self.embed_dims, self.num_heads, self.num_levels,
             self.num_points, name='deformable_attention')
 
+        hit = jnp.any(bev_mask, axis=-1)               # (num_cam, nq)
+        nq = query.shape[0]
+
         # Sequential scan over cameras (shared params).  A vmap here
         # keeps all six cameras' deformable-attention gather outputs
         # live at once — at production BEV scale that alone exceeds
         # HBM (measured 26+ GB); the per-camera work is large enough
         # to fill the chip, so serializing costs ~nothing.
-        def one_cam(m, carry, xs):
-            v, r = xs
-            return carry, m(query, v, r, spatial_shapes)
+        if self.query_cap < 1.0:
+            k = min(nq, int(np.ceil(nq * self.query_cap)))
+            # Priority: hit queries first, ascending query index within
+            # each class — deterministic and stable under jit.
+            prio = hit.astype(jnp.int32) * (nq + 1) \
+                - jnp.arange(nq, dtype=jnp.int32)[None, :]
+            _, idx = jax.lax.top_k(prio, k)            # (num_cam, k)
+            valid = jnp.take_along_axis(hit, idx, axis=1)
+            r_sel = jnp.take_along_axis(
+                reference_points_cam, idx[:, :, None, None], axis=1)
 
-        _, per_cam = nn.scan(
-            one_cam, variable_broadcast='params',
-            split_rngs={'params': False}, in_axes=0, out_axes=0,
-        )(inner, None, (cam_values, reference_points_cam))
-        # per_cam: (num_cam, nq, C)
+            def one_cam(m, carry, xs):
+                v, r, ii = xs
+                return carry, m(jnp.take(query, ii, axis=0), v, r,
+                                spatial_shapes)
 
-        hit = jnp.any(bev_mask, axis=-1)               # (num_cam, nq)
-        slots = jnp.sum(per_cam * hit[..., None], axis=0)
+            _, out_sel = nn.scan(
+                one_cam, variable_broadcast='params',
+                split_rngs={'params': False}, in_axes=0, out_axes=0,
+            )(inner, None, (cam_values, r_sel, idx))
+            # out_sel: (num_cam, k, C) — scatter the valid rows back.
+            contrib = (out_sel * valid[..., None]).reshape(
+                self.num_cams * k, -1)
+            slots = jnp.zeros_like(query).at[idx.reshape(-1)].add(
+                contrib.astype(query.dtype))
+        else:
+            def one_cam(m, carry, xs):
+                v, r = xs
+                return carry, m(query, v, r, spatial_shapes)
+
+            _, per_cam = nn.scan(
+                one_cam, variable_broadcast='params',
+                split_rngs={'params': False}, in_axes=0, out_axes=0,
+            )(inner, None, (cam_values, reference_points_cam))
+            # per_cam: (num_cam, nq, C)
+            slots = jnp.sum(per_cam * hit[..., None], axis=0)
+
         count = jnp.clip(jnp.sum(hit, axis=0), 1, None)
         slots = slots / count[..., None]
 

@@ -47,6 +47,9 @@ class BEVFormerConfig:
     stage_with_dcn: Tuple[bool, bool, bool, bool] = (False,) * 4
     fpn_outs: int = 1
     img_hw: Tuple[int, int] = (544, 960)
+    # Static per-camera SCA query capacity (fraction of bev_h*bev_w);
+    # 1.0 = masked dense.  See SpatialCrossAttention.query_cap.
+    sca_query_cap: float = 1.0
 
 
 def grid_mask(imgs: jnp.ndarray, rng_key, ratio: float = 0.5,
@@ -87,7 +90,8 @@ class BEVFormerDetector(nn.Module):
             embed_dims=self.cfg.embed_dims,
             encoder_layers=self.cfg.encoder_layers,
             decoder_layers=self.cfg.decoder_layers,
-            num_cams=self.cfg.num_cams, pc_range=self.cfg.pc_range)
+            num_cams=self.cfg.num_cams, pc_range=self.cfg.pc_range,
+            sca_query_cap=self.cfg.sca_query_cap)
 
     def extract_img_feat(self, imgs, train: bool = True):
         """(N, H, W, 3) -> list of (N, h, w, C) pyramid levels."""

@@ -102,6 +102,7 @@ class BEVFormerLayer(nn.Module):
     tsa_points: int = 4
     sca_points: int = 8
     num_cams: int = 6
+    sca_query_cap: float = 1.0
 
     @nn.compact
     def __call__(self, bev_query, bev_pos, value_queue, ref_2d_queue,
@@ -114,7 +115,7 @@ class BEVFormerLayer(nn.Module):
         x = nn.LayerNorm()(x)
         x = SpatialCrossAttention(
             self.embed_dims, self.num_cams, self.num_heads, 1,
-            self.sca_points, name='sca')(
+            self.sca_points, query_cap=self.sca_query_cap, name='sca')(
                 x, cam_values, reference_points_cam, bev_mask,
                 cam_spatial_shapes)
         x = nn.LayerNorm()(x)
@@ -135,6 +136,7 @@ class MMBEVFormerLayer(nn.Module):
     tsa_points: int = 4
     sca_points: int = 8
     num_cams: int = 6
+    sca_query_cap: float = 1.0
 
     @nn.compact
     def __call__(self, bev_query, bev_pos, value_queue, ref_2d_queue,
@@ -147,7 +149,7 @@ class MMBEVFormerLayer(nn.Module):
         x = nn.LayerNorm()(x)
         x = SpatialCrossAttention(
             self.embed_dims, self.num_cams, self.num_heads, 1,
-            self.sca_points, name='sca')(
+            self.sca_points, query_cap=self.sca_query_cap, name='sca')(
                 x, cam_values, reference_points_cam, bev_mask,
                 cam_spatial_shapes)
         # Learnable per-modality fusion gates.
@@ -175,6 +177,7 @@ class BEVFormerEncoder(nn.Module):
     num_points_in_pillar: int = 4
     pc_range: Sequence[float] = (-60, -40, -3.0, 60, 40, 5.0)
     num_cams: int = 6
+    sca_query_cap: float = 1.0
 
     @nn.compact
     def __call__(self, bev_query, bev_pos, cam_values, lidar2img, img_hw,
@@ -216,7 +219,8 @@ class BEVFormerEncoder(nn.Module):
             value_queue = jnp.stack([prev_val, output])
             output = BEVFormerLayer(
                 self.embed_dims, self.num_heads, self.feedforward_channels,
-                num_cams=self.num_cams, name=f'layer_{i}')(
+                num_cams=self.num_cams, sca_query_cap=self.sca_query_cap,
+                name=f'layer_{i}')(
                     output, bev_pos, value_queue, ref_queue, cam_values,
                     reference_points_cam, bev_mask, bev_spatial_shapes,
                     cam_spatial_shapes)

@@ -103,6 +103,7 @@ class BEVFormerHead(nn.Module):
     num_cams: int = 6
     pc_range: Sequence[float] = (-60, -40, -3.0, 60, 40, 5.0)
     code_size: int = 10
+    sca_query_cap: float = 1.0
 
     def setup(self):
         self.bev_embedding = self.param(
@@ -117,7 +118,8 @@ class BEVFormerHead(nn.Module):
             embed_dims=self.embed_dims, num_cams=self.num_cams,
             encoder_layers=self.encoder_layers,
             decoder_layers=self.decoder_layers,
-            bev_h=self.bev_h, bev_w=self.bev_w, pc_range=self.pc_range)
+            bev_h=self.bev_h, bev_w=self.bev_w, pc_range=self.pc_range,
+            sca_query_cap=self.sca_query_cap)
         self.branches = Branches(self.decoder_layers, self.num_classes,
                                  self.code_size, self.embed_dims)
 

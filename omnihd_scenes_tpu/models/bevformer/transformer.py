@@ -89,6 +89,7 @@ class PerceptionTransformer(nn.Module):
     use_can_bus: bool = True
     use_cams_embeds: bool = True
     rotate_prev_bev: bool = True
+    sca_query_cap: float = 1.0
 
     def setup(self):
         self.level_embeds = self.param(
@@ -104,7 +105,8 @@ class PerceptionTransformer(nn.Module):
             num_layers=self.encoder_layers, embed_dims=self.embed_dims,
             bev_h=self.bev_h, bev_w=self.bev_w,
             num_points_in_pillar=self.num_points_in_pillar,
-            pc_range=self.pc_range, num_cams=self.num_cams)
+            pc_range=self.pc_range, num_cams=self.num_cams,
+            sca_query_cap=self.sca_query_cap)
         self.decoder = DetectionTransformerDecoder(
             num_layers=self.decoder_layers, embed_dims=self.embed_dims)
         self.reference_points_fc = nn.Dense(3)
