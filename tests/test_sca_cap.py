@@ -99,6 +99,21 @@ class TestEquivalence:
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
+    def test_grads_match_dense_when_no_overflow(self, dense_vars):
+        """Training under a non-overflowing cap is the same optimization
+        problem: parameter gradients equal the dense formulation's."""
+        inputs = _inputs(seed=4, hit_frac=0.3)
+        assert int(sca_cap_overflow(jnp.asarray(inputs[3]), 0.5)) == 0
+
+        def loss(cap):
+            return lambda v: jnp.sum(_apply(cap, v, inputs) ** 2)
+
+        g_dense = jax.grad(loss(1.0))(dense_vars)
+        g_cap = jax.grad(loss(0.5))(dense_vars)
+        for a, b in zip(jax.tree.leaves(g_dense), jax.tree.leaves(g_cap)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=5e-4, rtol=1e-3)
+
 
 class TestProductionGeometry:
     """The serving cap must cover the real rig's hit fractions."""
