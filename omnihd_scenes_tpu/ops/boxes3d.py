@@ -111,8 +111,16 @@ def _edge_clip_cross(p0: jnp.ndarray, r: jnp.ndarray, boxes: jnp.ndarray,
                     -sin * r[..., 0] + cos * r[..., 1]], -1)
     h = jnp.stack([boxes[..., 3], boxes[..., 4]], -1) * 0.5
 
-    # Per-axis slab interval |al + t*rl| <= h (+eps).
-    parallel = jnp.abs(rl) < eps_par
+    # Per-axis slab interval |al + t*rl| <= h (+eps).  The parallel
+    # threshold must be relative to the coordinate scale: an edge of a
+    # box tested against an identical box has local direction exactly
+    # (len, 0) up to float residue ~ulp(|corner|) — corners sit tens of
+    # meters from the origin, so the residue (~|c|*2^-23) overshoots an
+    # absolute 1e-6 — and misclassifying it breaks the 1/2-weighted
+    # boundary telescoping, returning IoU 0 for exact duplicates.
+    scale = (1.0 + jnp.abs(p0[..., 0]) + jnp.abs(p0[..., 1])
+             + jnp.abs(r[..., 0]) + jnp.abs(r[..., 1]))[..., None]
+    parallel = jnp.abs(rl) < eps_par * scale
     safe_rl = jnp.where(parallel, 1.0, rl)
     ta = (-h - eps_in - al) / safe_rl
     tb = (h + eps_in - al) / safe_rl

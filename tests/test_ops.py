@@ -87,6 +87,17 @@ class TestRotatedIoU:
         iou = rotated_iou_bev(b, b)
         assert np.allclose(iou, 1.0, atol=1e-5)
 
+    def test_identical_far_from_origin(self):
+        # Regression: the slab parallel-edge threshold must scale with
+        # the coordinate magnitude — an edge of a box tested against an
+        # identical box carries float residue ~ulp(|corner|), which at
+        # |x| ~ 60 m overshoots an absolute 1e-6 and broke the
+        # 1/2-weighted boundary telescoping (IoU 0 for exact dups).
+        for (x, y, yaw) in [(55.0, 38.0, 1.234), (-59.9, -39.9, -2.9)]:
+            b = jnp.array([[x, y, 0.0, 2.0, 4.5, 1.5, yaw, 0, 0]],
+                          jnp.float32)
+            assert np.allclose(rotated_iou_bev(b, b), 1.0, atol=1e-3)
+
     def test_disjoint(self):
         b1 = jnp.array([_box(0, 0, 2, 2, 0.0)])
         b2 = jnp.array([_box(10, 0, 2, 2, 0.7)])
