@@ -58,6 +58,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.remap_bilinear_u8.argtypes = [u8p, ctypes.c_long, ctypes.c_long,
                                       ctypes.c_long, f32p, f32p, u8p]
     lib.remap_bilinear_u8.restype = None
+    i32p = np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS')
+    lib.nms_rotated_multiclass.argtypes = [
+        f32p, f32p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_double, ctypes.c_double, ctypes.c_long, f32p, f32p, i32p]
+    lib.nms_rotated_multiclass.restype = ctypes.c_long
     return lib
 
 

@@ -126,14 +126,18 @@ class DecodeCfg(NamedTuple):
     dir_limit_offset: float = 0.0
 
 
-def anchor_head_get_bboxes(cls_score: jnp.ndarray,
-                           bbox_pred: jnp.ndarray,
-                           dir_pred: jnp.ndarray,
-                           anchors: jnp.ndarray,
-                           cfg: DecodeCfg = DecodeCfg()):
-    """Decode one sample's head outputs into final boxes.
+def anchor_head_decode_candidates(cls_score: jnp.ndarray,
+                                  bbox_pred: jnp.ndarray,
+                                  dir_pred: jnp.ndarray,
+                                  anchors: jnp.ndarray,
+                                  cfg: DecodeCfg = DecodeCfg()):
+    """Decode one sample's head outputs to the top ``nms_pre`` candidates.
 
-    Returns padded (max_num, 9) boxes + scores + labels + validity.
+    Returns (nms_pre, 9) boxes (yaw direction-folded) + (nms_pre, C)
+    sigmoid scores — everything before the NMS.  This is also the
+    device half of the pipelined serving decode: NMS over these
+    candidates runs on the host (:mod:`omnihd_scenes_tpu.ops.nms_host`),
+    overlapped with the next batch's device step.
 
     Performance note (axon TPU backend): gathers from *unbatched*
     constants under vmap and ``take_along_axis`` both hit a slow lowered
@@ -167,6 +171,19 @@ def anchor_head_get_bboxes(cls_score: jnp.ndarray,
                            cfg.dir_limit_offset, jnp.pi)
     yaw = dir_rot + cfg.dir_offset + jnp.pi * dir_score.astype(boxes.dtype)
     boxes = boxes.at[:, 6].set(yaw)
+    return boxes, scores
 
+
+def anchor_head_get_bboxes(cls_score: jnp.ndarray,
+                           bbox_pred: jnp.ndarray,
+                           dir_pred: jnp.ndarray,
+                           anchors: jnp.ndarray,
+                           cfg: DecodeCfg = DecodeCfg()):
+    """Decode one sample's head outputs into final boxes (in-graph NMS).
+
+    Returns padded (max_num, 9) boxes + scores + labels + validity.
+    """
+    boxes, scores = anchor_head_decode_candidates(
+        cls_score, bbox_pred, dir_pred, anchors, cfg)
     return multiclass_nms_rotated(boxes, scores, cfg.score_thr, cfg.nms_thr,
                                   cfg.max_num)

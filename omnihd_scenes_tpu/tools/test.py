@@ -31,6 +31,12 @@ def parse_args():
                         'the quantized graph (models/quant.py)')
     p.add_argument('--bad-conditions', action='store_true',
                    help='evaluate only rainy/night scenes')
+    p.add_argument('--host-nms', action='store_true',
+                   help='anchor-family serving decode: end the device '
+                        'graph at candidate decode and run greedy '
+                        'rotated NMS on the host (native C++, '
+                        'ops/nms_host.py) — same results, overlaps the '
+                        'next batch on a pipelined server')
     p.add_argument('--cfg-options', nargs='+')
     return p.parse_args()
 
@@ -138,6 +144,8 @@ def main():
               'quant variables')
 
     if mtype == 'bevformer':
+        if args.host_nms:
+            print('--host-nms ignored: bevformer decode is NMS-free')
         stream_batch = int(cfg.data.get('samples_per_device', 1) or 1)
         if stream_batch > 1:
             from omnihd_scenes_tpu.train.builder import (
@@ -157,7 +165,8 @@ def main():
         outputs = {'bbox_results': bbox_results, 'occ_results': None}
     else:
         predict_fn = make_predict_fn_generic(
-            model, mtype, anchors_np, extra_variables=quant_vars)
+            model, mtype, anchors_np, extra_variables=quant_vars,
+            host_nms=args.host_nms)
         outputs = run_inference_generic(predict_fn, state, dataset,
                                         cfg.data.samples_per_device, mtype)
 

@@ -23,8 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from omnihd_scenes_tpu.models.anchor_head import (DecodeCfg, HeadLossConfig,
+                                                  anchor_head_decode_candidates,
                                                   anchor_head_get_bboxes,
                                                   anchor_head_loss)
+from omnihd_scenes_tpu.ops.nms_host import nms_rotated_multiclass_host_batch
 from omnihd_scenes_tpu.models.bevfusion import (BEVFusion, BEVFusionConfig,
                                                 depth_dist_loss)
 from omnihd_scenes_tpu.models.bevformer import (BEVFormerConfig,
@@ -230,12 +232,21 @@ def make_loss_fn_generic(model, mtype: str, anchors_np: np.ndarray = None,
 def make_predict_fn_generic(model, mtype: str, anchors_np: np.ndarray = None,
                             decode_cfg: DecodeCfg = None,
                             nms_free_cfg: NMSFreeCoderCfg = None,
-                            extra_variables: dict = None):
+                            extra_variables: dict = None,
+                            host_nms: bool = False):
     """Build inference fn returning padded (boxes, scores, labels, valid)
     (+ occ argmax for MTL).
 
     ``extra_variables``: additional variable collections merged into
     every apply (e.g. the ``quant`` collection for the int8 tier).
+
+    ``host_nms`` (anchor-family only): end the jitted graph at the
+    top-``nms_pre`` candidate decode and run the greedy rotated NMS on
+    the host (``ops/nms_host.py``, native C++ core) instead of in-graph.
+    Same results (parity pinned by tests/test_nms_host.py); in a
+    streaming server the host suppression overlaps the next batch's
+    device step, taking ~2.5 ms/sample of sort/polygon work off the TPU
+    critical path (BENCH.md round 3).
     """
     extra = extra_variables or {}
     if mtype == 'bevformer':
@@ -260,18 +271,29 @@ def make_predict_fn_generic(model, mtype: str, anchors_np: np.ndarray = None,
         out = model.apply({'params': params, 'batch_stats': batch_stats,
                            **extra},
                           train=False, **_model_inputs(batch, mtype, False))
+        occ_pred = (jnp.argmax(out['occ_logits'], axis=-1)
+                    if mtype == 'bevfusion_mtl' else None)
+        if host_nms:
+            cand = jax.vmap(partial(anchor_head_decode_candidates,
+                                    cfg=decode_cfg))(
+                out['cls_score'], out['bbox_pred'], out['dir_pred'],
+                anchors_b)
+            return cand, occ_pred
         dets = jax.vmap(partial(anchor_head_get_bboxes, cfg=decode_cfg))(
             out['cls_score'], out['bbox_pred'], out['dir_pred'], anchors_b)
-        if mtype == 'bevfusion_mtl':
-            occ_pred = jnp.argmax(out['occ_logits'], axis=-1)
-            return dets, occ_pred
-        return dets, None
+        return dets, occ_pred
 
     def predict_with_anchors(params, batch_stats, batch):
         b = next(iter(batch.values())).shape[0]
         anchors_b = np.ascontiguousarray(np.broadcast_to(
             anchors_np[None], (b,) + anchors_np.shape))
-        return predict(params, batch_stats, batch, anchors_b)
+        out, occ = predict(params, batch_stats, batch, anchors_b)
+        if host_nms:
+            boxes, scores = (np.asarray(x) for x in out)
+            out = nms_rotated_multiclass_host_batch(
+                boxes, scores, decode_cfg.score_thr, decode_cfg.nms_thr,
+                decode_cfg.max_num)
+        return out, occ
 
     return predict_with_anchors
 
