@@ -23,7 +23,7 @@ jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_compilation_cache_dir',
                   os.environ.get('OMNIHD_TEST_CACHE',
                                  '/tmp/omnihd_jax_cache_cpu'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 
 import pytest  # noqa: E402

@@ -64,6 +64,7 @@ def test_dense_matches_sorted_single_layer(radar):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dense_matches_sorted_two_layer():
     # Multi-layer PFN: pooled canvas broadcast back to the points.
     rng = np.random.RandomState(1)
@@ -78,6 +79,7 @@ def test_dense_matches_sorted_two_layer():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dense_batched_equals_per_sample():
     rng = np.random.RandomState(2)
     p0, m0 = _points(rng, 300, 250)
@@ -113,6 +115,7 @@ def test_params_interchangeable_with_pillar_feature_net():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_flagship_config_knob():
     """BEVFusion(pillar_impl='dense') runs with params initialized by
     the sorted path — radar-only small config."""

@@ -126,6 +126,7 @@ def _run(depth, feat, dtype=jnp.float32):
         solve_x=SOLVE_X, compute_dtype=dtype))
 
 
+@pytest.mark.slow
 def test_matches_numpy_mirror(rand_inputs):
     depth, feat = rand_inputs
     got = _run(depth, feat)
@@ -234,6 +235,7 @@ def test_b_windows_full_extent_noop(rand_inputs):
     np.testing.assert_array_equal(got, _run(depth, feat))
 
 
+@pytest.mark.slow
 def test_b_windows_shrink_narrow_fov():
     """A narrow-FOV forward camera sees only a band of y columns; the
     derived window must shrink and the windowed output must stay

@@ -124,6 +124,7 @@ class TestRotatedIoU:
         b2 = jnp.array([_box(0, 0, 2, 2, 0.2)])
         assert np.allclose(rotated_iou_bev(b1, b2), 4 / 16, atol=1e-5)
 
+    @pytest.mark.slow
     def test_monte_carlo_agreement(self):
         rng = np.random.RandomState(3)
         boxes1 = np.array([_box(rng.uniform(-2, 2), rng.uniform(-2, 2),

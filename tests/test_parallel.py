@@ -90,6 +90,7 @@ class TestBF16Policy:
 
 
 class TestGraftEntry:
+    @pytest.mark.slow
     def test_dryrun_multichip_cpu(self):
         import __graft_entry__ as g
 
@@ -185,6 +186,7 @@ class TestTensorParallel:
         step = make_train_step(make_loss_fn(model), tx)
         return state, step, batch
 
+    @pytest.mark.slow
     def test_tp_dp_matches_single_device(self):
         """GSPMD-partitioned (data x model) training step must produce
         the same loss and parameters as the unsharded step."""

@@ -76,6 +76,7 @@ def test_cbgs_balances_classes():
         idx.shape
 
 
+@pytest.mark.slow
 def test_worker_pool_ordered_and_matches_inline():
     ds = ToyDataset(13)
     loader = TrainLoader(ds, batch_size=4, seed=1, num_workers=2)
