@@ -205,7 +205,8 @@ def main_bevformer(batch: int = 1, sca_cap: float = 0.375):
     }))
 
 
-def main(int8: bool = False, batch: int = 1, host_nms: bool = True):
+def main(int8: bool = False, batch: int = 1, host_nms: bool = False,
+         mtl: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -225,7 +226,15 @@ def main(int8: bool = False, batch: int = 1, host_nms: bool = True):
     # measured 2.7 vs 4.5 ms/sample on v5e — BENCH.md round 3).
     cfg = BEVFusionConfig(
         pillars=PointPillarsConfig(pillar_impl='dense'))
-    model = BEVFusion(cfg)
+    if mtl:
+        # --mtl: the occupancy headline (SURVEY §6: BEVFusion-OCC,
+        # 240x160x16 @ 0.5 m, 11 classes + free) — fusion trunk +
+        # joint detection + occupancy heads, occ argmax in-graph.
+        from omnihd_scenes_tpu.models.mtl import BEVFusionMTL, MTLConfig
+        model = BEVFusionMTL(MTLConfig(fusion=cfg))
+        host_nms = False               # in-graph decode only
+    else:
+        model = BEVFusion(cfg)
 
     n_pts, b = 40000, batch
     rng = np.random.RandomState(0)
@@ -378,7 +387,13 @@ def main(int8: bool = False, batch: int = 1, host_nms: bool = True):
                         decode_cfg))(
                     out['cls_score'], out['bbox_pred'], out['dir_pred'],
                     anc)
-                return jnp.sum(scores).astype(jnp.bfloat16)
+                live = jnp.sum(scores)
+                if mtl:
+                    # Keep the occupancy branch live (XLA dead-code-
+                    # eliminates unread output leaves — BENCH.md r3).
+                    occ_pred = jnp.argmax(out['occ_logits'], axis=-1)
+                    live = live + jnp.sum(occ_pred).astype(live.dtype)
+                return live.astype(jnp.bfloat16)
             return jax.lax.fori_loop(0, N_ITERS, body, jnp.bfloat16(0))
 
         # Warmup / compile.
@@ -390,7 +405,8 @@ def main(int8: bool = False, batch: int = 1, host_nms: bool = True):
 
     samples_per_sec = N_ITERS * b / dt
     print(json.dumps({
-        'metric': 'bevfusion_cam_radar_infer_samples_per_sec'
+        'metric': ('bevfusion_mtl_od_occ' if mtl else 'bevfusion_cam_radar')
+                  + '_infer_samples_per_sec'
                   + ('_int8' if int8 else '')
                   + (f'_b{b}' if b != 4 else ''),
         'value': round(samples_per_sec, 2),
@@ -439,5 +455,7 @@ if __name__ == '__main__':
         # box (16.1 vs 18.25/s, BENCH.md round 3): the C++ suppression
         # starves the relay client's feeder thread of CPU, so the
         # device idles; the mode pays only on multi-core serving hosts.
+        # --mtl: the occupancy headline (joint OD+OCC flagship).
         main(int8='--int8' in sys.argv, batch=b,
-             host_nms='--host-nms' in sys.argv)
+             host_nms='--host-nms' in sys.argv,
+             mtl='--mtl' in sys.argv)
