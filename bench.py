@@ -316,6 +316,9 @@ def main(int8: bool = False, batch: int = 1, host_nms: bool = False,
         # critical path.
         chunk = int(os.environ.get('OMNIHD_BENCH_CHUNK', '4'))
         skip_host = os.environ.get('OMNIHD_BENCH_SKIP_HOST_NMS') == '1'
+        assert N_ITERS % chunk == 0, (
+            f'chunk={chunk} must divide N_ITERS={N_ITERS}: the '
+            'samples/sec denominator assumes every iteration ran')
         n_chunks = N_ITERS // chunk
 
         @jax.jit

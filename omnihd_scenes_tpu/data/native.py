@@ -41,6 +41,20 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(so)
     except OSError:
         return None
+    if not hasattr(lib, 'nms_rotated_multiclass'):
+        # Stale library built from an older source (mtime-preserving
+        # copy, clock skew): force a rebuild once; if the fresh build
+        # still lacks the symbol, fall back to NumPy rather than crash
+        # ("an accelerator, never a requirement").
+        try:
+            subprocess.run(
+                ['g++', '-O3', '-shared', '-fPIC', '-o', so, src],
+                check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(so)
+        except Exception:
+            return None
+        if not hasattr(lib, 'nms_rotated_multiclass'):
+            return None
 
     f64p = np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS')
     f32p = np.ctypeslib.ndpointer(np.float32, flags='C_CONTIGUOUS')

@@ -192,20 +192,21 @@ def accumulate_class(gt_scenes: Sequence[List[List]],
 def compute_thresholds(gt_scenes, pred_scenes, dist_th: float,
                        nelem: int, min_recall: float):
     """Recall-derived score thresholds (reference algo.py
-    compute_thresholds): one permissive accumulation collects matched
-    prediction scores; the threshold for recall r is the score at which
-    the match-recall curve crosses r (nan when unachieved)."""
+    compute_thresholds:300-343): one permissive accumulation collects
+    matched prediction scores; thresholds are np.interp of the
+    (recall, score) curve at the target recalls (right=0 below the
+    curve, nan above the achieved maximum)."""
     base = accumulate_class(gt_scenes, pred_scenes, dist_th,
                             -np.inf, collect_match_scores=True)
     ngt = max(base['gt'], 1)
     scores = np.sort(np.asarray(base['match_scores'], np.float64))[::-1]
+    recalls = np.linspace(min_recall, 1.0, nelem).round(12)
+    if scores.size == 0:
+        return np.full(nelem, np.nan), recalls
     rec = np.arange(1, len(scores) + 1) / ngt
-    recalls = np.linspace(min_recall, 1.0, nelem)
-    thresholds = np.full(nelem, np.nan)
-    for i, r in enumerate(recalls):
-        hits = np.nonzero(rec >= r)[0]
-        if hits.size:
-            thresholds[i] = scores[hits[0]]
+    # np.interp needs ascending xp: rec ascends, scores descend with it.
+    thresholds = np.interp(recalls, rec, scores, right=0.0)
+    thresholds[recalls > rec.max()] = np.nan
     return thresholds, recalls
 
 

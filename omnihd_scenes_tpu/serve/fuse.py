@@ -91,11 +91,20 @@ def fuse_conv_bn(variables: Dict,
     stats = jax.tree.map(np.asarray, variables.get('batch_stats', {}))
     fused, skipped = [], []
 
+    # A producer consumed by more than one BN must not be folded: each
+    # fold rescales the shared kernel again, corrupting every consumer.
+    lin_counts: Dict[Path, int] = {}
+    for lin_path in pairs.values():
+        lin_counts[lin_path] = lin_counts.get(lin_path, 0) + 1
+
     for bn_path, lin_path in sorted(pairs.items()):
         bn_p = _get(params, bn_path)
         bn_s = _get(stats, bn_path)
         lin = _get(params, lin_path)
         label = '/'.join(bn_path)
+        if lin_counts[lin_path] > 1:
+            skipped.append(label + ' (producer feeds multiple BNs)')
+            continue
         if bn_p is None or 'scale' not in bn_p:
             skipped.append(label + ' (no affine params)')
             continue
@@ -126,9 +135,32 @@ def fuse_conv_bn(variables: Dict,
     return out, {'fused': fused, 'skipped': skipped}
 
 
-def fuse_model(model, variables, apply_fn) -> Tuple[Dict, Dict]:
+def fuse_model(model, variables, apply_fn,
+               verify: bool = True, atol: float = 1e-3,
+               rtol: float = 1e-3) -> Tuple[Dict, Dict]:
     """Trace + fuse in one step.  ``apply_fn(variables)`` runs one eager
     eval-mode forward (``model`` kept in the signature for symmetry with
-    call sites; only the apply matters)."""
+    call sites; only the apply matters).
+
+    ``verify`` re-runs the forward on the fused tree and checks every
+    output leaf against the original — the backstop for consumers the
+    trace cannot see (a conv output feeding a residual/skip path as well
+    as its BN would be silently rescaled on that path).  Raises
+    ValueError on mismatch.
+    """
+    import jax
+
     pairs, eps = trace_pairs(apply_fn, variables)
-    return fuse_conv_bn(variables, pairs, eps)
+    fused_vars, report = fuse_conv_bn(variables, pairs, eps)
+    if verify and report['fused']:
+        ref = apply_fn(variables)
+        out = apply_fn(fused_vars)
+        for r, o in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
+            r, o = np.asarray(r, np.float32), np.asarray(o, np.float32)
+            if not np.allclose(r, o, atol=atol, rtol=rtol):
+                raise ValueError(
+                    'fuse_model verification failed: fused forward '
+                    f'deviates by {np.abs(r - o).max():.3e} — a folded '
+                    'conv output likely has a consumer besides its BN')
+        report['verified'] = True
+    return fused_vars, report

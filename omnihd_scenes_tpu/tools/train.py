@@ -113,9 +113,14 @@ def main():
 
     # Pretrained image-backbone init from torch checkpoints (reference
     # tools/train.py:276-428 load_img_from + the implicit torchvision
-    # pretrained= ImageNet init of every camera baseline).
+    # pretrained= ImageNet init of every camera baseline).  Resume takes
+    # precedence (mmcv semantics): re-applying the init after restoring
+    # a mid-training checkpoint would silently overwrite the trained
+    # backbone while keeping the optimizer state and schedule position.
     pretrained = cfg.get('pretrained', cfg.model.get('pretrained'))
     load_img_from = cfg.get('load_img_from')
+    if args.resume_from:
+        pretrained = load_img_from = None
     if pretrained or load_img_from:
         from omnihd_scenes_tpu.train.torch_import import apply_pretrained
 
@@ -134,8 +139,9 @@ def main():
                         'skipped': len(rep.get('skipped', ()))})
 
     # Staged pretraining (reference load_img_from / load_lift_from /
-    # load_pts_from chains).
-    if cfg.get('load_lift_from') or cfg.get('load_pts_from'):
+    # load_pts_from chains).  Skipped on resume for the same reason.
+    if ((cfg.get('load_lift_from') or cfg.get('load_pts_from'))
+            and not args.resume_from):
         from omnihd_scenes_tpu.train.ckpt_remap import (load_lift_from,
                                                         load_pts_from)
         params = state.params

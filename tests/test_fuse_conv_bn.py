@@ -104,6 +104,59 @@ class TestFuseResNet:
             rtol=2e-4, atol=2e-4)
 
 
+class TestFuseGuards:
+    def test_conv_feeding_two_bns_skipped(self):
+        """A producer consumed by two BNs must not be folded: each fold
+        would rescale the shared kernel again, corrupting both paths."""
+        import flax.linen as nn
+
+        class TwoBN(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                y = nn.Conv(8, (3, 3))(x)            # Conv_0, shared
+                a = nn.BatchNorm(
+                    use_running_average=not train)(y)  # BatchNorm_0
+                b = nn.BatchNorm(
+                    use_running_average=not train)(y)  # BatchNorm_1
+                return a + b
+
+        model = TwoBN()
+        x = np.random.RandomState(3).randn(1, 8, 8, 3).astype(np.float32)
+        variables = _randomize_bn(model.init(jax.random.PRNGKey(0), x))
+        fused, report = fuse_model(model, variables,
+                                   lambda v: model.apply(v, x, train=False))
+        assert not report['fused']
+        assert len(report['skipped']) == 2
+        np.testing.assert_array_equal(
+            fused['params']['Conv_0']['kernel'],
+            variables['params']['Conv_0']['kernel'])
+        np.testing.assert_allclose(
+            np.asarray(model.apply(fused, x, train=False)),
+            np.asarray(model.apply(variables, x, train=False)),
+            rtol=1e-6, atol=1e-6)
+
+    def test_verify_catches_residual_consumer(self):
+        """The verification backstop: a conv output feeding a residual
+        path as well as its BN is invisible to the trace — the fused
+        forward deviates on that path and fuse_model must raise."""
+        import flax.linen as nn
+
+        class Residual(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                y = nn.Conv(3, (3, 3))(x)            # Conv_0
+                z = nn.BatchNorm(
+                    use_running_average=not train)(y)  # BatchNorm_0
+                return z + y                          # hidden consumer
+
+        model = Residual()
+        x = np.random.RandomState(4).randn(1, 8, 8, 3).astype(np.float32)
+        variables = _randomize_bn(model.init(jax.random.PRNGKey(0), x))
+        with pytest.raises(ValueError, match='verification failed'):
+            fuse_model(model, variables,
+                       lambda v: model.apply(v, x, train=False))
+
+
 class TestFuseFlagship:
     @pytest.mark.slow
     def test_bevfusion_equivalence(self):

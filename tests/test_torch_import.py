@@ -305,3 +305,23 @@ def test_cli_load_img_from_logs_full_coverage(torch_net_and_sd,
     assert rep[0]['loaded'] == len(resnet_name_map(18))
     assert rep[0]['missing'] == 0 and rep[0]['mismatched'] == 0
     assert any(r.get('mode') == 'done' for r in recs)
+
+    # Resume takes precedence over pretrained init (mmcv semantics):
+    # relaunching with --resume-from must NOT re-apply the torch
+    # weights over the restored checkpoint.
+    import glob
+    ckpt = sorted(glob.glob(f'{work}/ckpts/ckpt_*'))[-1]
+    work2 = str(tmp_path / 'work2')
+    monkeypatch.setattr(sys, 'argv', [
+        'train.py', 'configs/synthetic/bevfusion_synth.py',
+        '--no-validate', '--work-dir', work2,
+        '--resume-from', ckpt, '--cfg-options',
+        f'dataroot={synthetic_dataroot}',
+        f'load_img_from={pth}',
+        f'data.train.ann_file={infos}/synth_infos_temporal_train.pkl',
+        f'data.val.ann_file={infos}/synth_infos_temporal_val.pkl',
+    ])
+    train_cli.main()
+    recs2 = [json.loads(line) for line in open(f'{work2}/train.log.json')]
+    assert any(r.get('mode') == 'resume' for r in recs2)
+    assert not [r for r in recs2 if r.get('mode') == 'load_img_from']

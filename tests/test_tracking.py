@@ -66,6 +66,30 @@ class TestAlgo:
         res = amota_amotp(gt, [[] for _ in gt], dist_th=2.0)
         assert res['amota'] == 0.0
 
+    def test_thresholds_interpolate_reference_convention(self):
+        """compute_thresholds must np.interp the (recall, score) curve
+        (reference algo.py:300-343), not step to the nearest achieved
+        recall: 3 GT, matched scores {0.9, 0.6, 0.3} -> the threshold
+        at target recall 0.5 is interp(0.5, [1/3, 2/3, 1], [.9,.6,.3])
+        = 0.75, and recalls above the achieved max are nan."""
+        from omnihd_scenes_tpu.eval.tracking.algo import compute_thresholds
+
+        gt, pred = [], []
+        for t, score in enumerate((0.9, 0.6, 0.3)):
+            gt.append([_box(str(t), 'a', (t * 50.0, 0))])
+            pred.append([_box(str(t), 'pa', (t * 50.0, 0), score=score)])
+        thr, recalls = compute_thresholds([gt], [pred], dist_th=2.0,
+                                          nelem=10, min_recall=0.5)
+        assert recalls[0] == pytest.approx(0.5)
+        assert thr[0] == pytest.approx(np.interp(
+            0.5, [1 / 3, 2 / 3, 1.0], [0.9, 0.6, 0.3]))  # == 0.75
+        assert thr[-1] == pytest.approx(0.3)             # recall 1.0
+        # Now drop one prediction (keep the frame): max achievable
+        # recall 2/3 -> the recall-1.0 threshold is unachieved -> nan.
+        thr2, _ = compute_thresholds([gt], [pred[:2] + [[]]], dist_th=2.0,
+                                     nelem=10, min_recall=0.5)
+        assert np.isnan(thr2[-1])
+
 
 class TestTrackingEvalE2E:
     def test_gt_as_prediction(self, synthetic_db, tmp_path):
