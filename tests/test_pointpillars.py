@@ -147,3 +147,44 @@ class TestLossAndDecode:
         # Yaw recovered through the sin-diff + dir-bin path.
         yaw = boxes[np.argsort(out_labels)][1, 6]
         assert abs((yaw - 0.4 + np.pi) % (2 * np.pi) - np.pi) < 1e-3
+
+
+class TestDecodeCandidatesSpec:
+    def test_wide_gather_decode_matches_naive_formulation(self):
+        """The production decode selects + gathers through one wide-row
+        per-cell table (anchor_head.py perf notes); this pins it to the
+        naive spec: sigmoid all scores, top-k the per-anchor max, gather
+        each tensor by flat anchor index (reference mmdet3d
+        Anchor3DHead.get_bboxes pre-NMS semantics)."""
+        from omnihd_scenes_tpu.models.anchor_head import (
+            anchor_head_decode_candidates, decode_boxes)
+        from omnihd_scenes_tpu.ops.boxes3d import limit_period
+
+        rng = np.random.RandomState(7)
+        H, W, AA, C = 8, 12, 8, 4
+        cfg = DecodeCfg(nms_pre=20)
+        cls = jnp.asarray(rng.randn(H, W, AA * C).astype(np.float32))
+        box = jnp.asarray(rng.randn(H, W, AA * 9).astype(np.float32) * .1)
+        dirp = jnp.asarray(rng.randn(H, W, AA * 2).astype(np.float32))
+        anchors = jnp.asarray(rng.randn(H, W, AA, 9).astype(np.float32))
+
+        got_b, got_s = anchor_head_decode_candidates(
+            cls, box, dirp, anchors, cfg)
+
+        a = H * W * AA
+        scores = jax.nn.sigmoid(cls.reshape(a, C))
+        _, topk = jax.lax.top_k(jnp.max(scores, axis=-1), cfg.nms_pre)
+        fa = anchors.reshape(a, 9)
+        boxes = decode_boxes(fa[topk], box.reshape(a, 9)[topk])
+        dir_score = jnp.argmax(dirp.reshape(a, 2)[topk], axis=-1)
+        dir_rot = limit_period(boxes[:, 6] - cfg.dir_offset,
+                               cfg.dir_limit_offset, jnp.pi)
+        yaw = (dir_rot + cfg.dir_offset
+               + jnp.pi * dir_score.astype(boxes.dtype))
+        want_b = boxes.at[:, 6].set(yaw)
+        want_s = scores[topk]
+
+        np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                                   rtol=1e-6, atol=1e-6)
