@@ -24,6 +24,7 @@ from omnihd_scenes_tpu.models.losses import (sigmoid_focal_loss, smooth_l1,
 from omnihd_scenes_tpu.models.target_assign import assign_targets
 from omnihd_scenes_tpu.ops.boxes3d import decode_boxes, limit_period
 from omnihd_scenes_tpu.ops.nms import multiclass_nms_rotated
+from omnihd_scenes_tpu.ops.topk import blocked_top_k
 
 
 class Anchor3DHead(nn.Module):
@@ -173,7 +174,7 @@ def anchor_head_decode_candidates(cls_score: jnp.ndarray,
     # Pre-NMS top-k on the per-anchor max class score (see note above:
     # sigmoid(max) == max(sigmoid) bitwise, by monotonicity).
     k = min(cfg.nms_pre, a)
-    _, topk = jax.lax.top_k(jax.nn.sigmoid(lmax).reshape(-1), k)
+    _, topk = blocked_top_k(jax.nn.sigmoid(lmax).reshape(-1), k)
     topk = jax.lax.optimization_barrier(topk)
     cell, slot = topk // aa, topk % aa
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from omnihd_scenes_tpu.models.layers import ConvBNReLU
+from omnihd_scenes_tpu.ops.topk import blocked_top_k
 
 
 class CenterHead(nn.Module):
@@ -170,7 +171,7 @@ def center_head_decode(preds: Dict[str, jnp.ndarray],
 
     flat = heat.reshape(-1)
     k = min(max_num, flat.shape[0])
-    scores, idx = jax.lax.top_k(flat, k)
+    scores, idx = blocked_top_k(flat, k)
     idx = jax.lax.optimization_barrier(idx)
     c = heat.shape[-1]
     cls = (idx % c).astype(jnp.int32)
