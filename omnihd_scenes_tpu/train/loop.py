@@ -101,15 +101,24 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
 
 def load_checkpoint(ckpt_dir: str, state: TrainState,
                     step: Optional[int] = None) -> TrainState:
+    """Restore from either a ckpt *directory* (latest ``ckpt_N`` entry,
+    or ``step=N``) or a specific ``ckpt_N`` checkpoint path — the CLI's
+    ``--resume-from`` takes the latter, mirroring the reference's
+    resume-from-a-file semantics (``tools/train.py`` resume_from)."""
     import orbax.checkpoint as ocp
 
-    if step is None:
-        ckpts = sorted([d for d in os.listdir(ckpt_dir)
-                        if d.startswith('ckpt_')],
-                       key=lambda d: int(d.split('_')[1]))
-        assert ckpts, f'no checkpoints in {ckpt_dir}'
-        step = int(ckpts[-1].split('_')[1])
-    path = os.path.abspath(os.path.join(ckpt_dir, f'ckpt_{step}'))
+    base = os.path.basename(os.path.normpath(ckpt_dir))
+    entries = [d for d in os.listdir(ckpt_dir) if d.startswith('ckpt_')]
+    if (step is None and not entries and base.startswith('ckpt_')
+            and base.split('_')[1].isdigit()):
+        # A specific checkpoint was passed directly.
+        path = os.path.abspath(os.path.normpath(ckpt_dir))
+    else:
+        if step is None:
+            ckpts = sorted(entries, key=lambda d: int(d.split('_')[1]))
+            assert ckpts, f'no checkpoints in {ckpt_dir}'
+            step = int(ckpts[-1].split('_')[1])
+        path = os.path.abspath(os.path.join(ckpt_dir, f'ckpt_{step}'))
     leaves, treedef = jax.tree.flatten(state._asdict())
     target = {f'leaf_{i}': np.asarray(x) for i, x in enumerate(leaves)}
     ckptr = ocp.StandardCheckpointer()
