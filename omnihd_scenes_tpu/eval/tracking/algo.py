@@ -81,24 +81,33 @@ def _match_frame(gts: List, preds: List, dist_th: float,
 
 
 def _track_metrics(timelines: Dict, period: float = SAMPLE_PERIOD_S):
-    """MT/ML/FRAG/TID/LGD from per-GT-track (frame, matched) timelines.
+    """MT/ML/FRAG/TID/LGD from per-GT-track (frame, matched, time)
+    timelines.
 
-    Each timeline is the ordered list of (frame_idx, matched) for the
-    frames where the GT track is present.  Definitions follow the
-    reference ``metrics.py`` / py-motmetrics:
+    Each timeline is the ordered list of ``(frame_idx, matched,
+    t_seconds)`` for the frames where the GT track is present;
+    ``t_seconds`` is the real sample timestamp when the caller supplied
+    one (``None`` falls back to ``frame_idx * period``).  Definitions
+    follow the reference ``metrics.py`` / py-motmetrics:
       mt/ml  — tracks matched on >=80% / <=20% of their frames;
       frag   — matched->unmatched transitions within the matched span;
-      tid    — (first matched frame − first frame) × period, averaged
-               over ever-matched tracks (nan when none);
-      lgd    — longest consecutive unmatched run over the track's frame
-               span (initial gap included) × period, same averaging.
+      tid    — time from first GT appearance to first TP (seconds),
+               averaged over ever-matched tracks (nan when none);
+      lgd    — longest consecutive untracked time span over the GT
+               track's life (initial gap included), same averaging.
+               Each unmatched frame contributes its dwell time (the gap
+               to the next frame; the last frame reuses the previous
+               dwell) so non-uniform sample cadences are measured in
+               real seconds, not frame counts.
     """
     mt = ml = frag = 0
     tid_sum = lgd_sum = 0.0
     matched_tracks = 0
     for frames in timelines.values():
-        idx = [f for f, _ in frames]
-        hit = [m for _, m in frames]
+        idx = [f for f, _, _ in frames]
+        hit = [m for _, m, _ in frames]
+        ts = [(idx[i] * period if frames[i][2] is None else frames[i][2])
+              for i in range(len(frames))]
         n = len(frames)
         n_hit = sum(hit)
         ratio = n_hit / n if n else 0.0
@@ -114,19 +123,21 @@ def _track_metrics(timelines: Dict, period: float = SAMPLE_PERIOD_S):
         # frag: interruptions inside the tracked span.
         frag += sum(1 for i in range(first_hit + 1, last_hit + 1)
                     if not hit[i] and hit[i - 1])
-        # tid: frame-index difference (GT spans are contiguous per the
-        # annotation interpolation; fall back to index difference).
-        tid_sum += (idx[first_hit] - idx[0]) * period
-        # lgd: longest consecutive unmatched run (leading gap counts,
-        # reference longest_gap_duration iterates the full GT span).
-        gap = cur = 0
+        # tid: real elapsed time from first GT appearance to first TP.
+        tid_sum += ts[first_hit] - ts[0]
+        # lgd: longest consecutive unmatched time span (leading gap
+        # counts, reference longest_gap_duration iterates the full GT
+        # span).  dwell[i] = time covered by frame i.
+        dwell = [ts[i + 1] - ts[i] for i in range(n - 1)]
+        dwell.append(dwell[-1] if dwell else period)
+        gap = cur = 0.0
         for i in range(n):
             if hit[i]:
                 gap = max(gap, cur)
-                cur = 0
+                cur = 0.0
             else:
-                cur += 1
-        lgd_sum += max(gap, cur) * period
+                cur += dwell[i]
+        lgd_sum += max(gap, cur)
     if matched_tracks == 0:
         tid = lgd = float('nan')
     else:
@@ -138,23 +149,29 @@ def _track_metrics(timelines: Dict, period: float = SAMPLE_PERIOD_S):
 def accumulate_class(gt_scenes: Sequence[List[List]],
                      pred_scenes: Sequence[List[List]],
                      dist_th: float, score_thr: float,
-                     collect_match_scores: bool = False) -> Dict:
+                     collect_match_scores: bool = False,
+                     scene_times: Sequence[List[float]] = None) -> Dict:
     """MOT counts for one class over scene-grouped ordered frames at one
     score threshold.
 
     gt_scenes/pred_scenes: per scene, the ordered list of per-frame
     TrackingBox lists.  Identity bookkeeping and track timelines are
-    per scene (no cross-scene state).
+    per scene (no cross-scene state).  scene_times: optional per-scene
+    lists of frame timestamps in SECONDS; when given, TID/LGD are
+    measured in real elapsed time instead of frame_idx ×
+    ``SAMPLE_PERIOD_S``.
     """
     tp = fp = fn = ids = 0
     n_frames = 0
     dist_sum = 0.0
     match_scores: List[float] = []
-    timelines: Dict[Tuple[int, str], List[Tuple[int, bool]]] = {}
+    timelines: Dict[Tuple[int, str], List[Tuple[int, bool, float]]] = {}
     for si, (gt_frames, pred_frames) in enumerate(zip(gt_scenes,
                                                       pred_scenes)):
+        times = scene_times[si] if scene_times is not None else None
         prev_match: Dict[str, str] = {}
         for fi, (gts, preds) in enumerate(zip(gt_frames, pred_frames)):
+            t = times[fi] if times is not None else None
             n_frames += 1
             preds = [p for p in preds if p.tracking_score >= score_thr]
             matches, un_g, un_p = _match_frame(gts, preds, dist_th,
@@ -169,7 +186,7 @@ def accumulate_class(gt_scenes: Sequence[List[List]],
             matched_ids = {g.tracking_id for g, _, _ in matches}
             for g in gts:
                 timelines.setdefault((si, g.tracking_id), []).append(
-                    (fi, g.tracking_id in matched_ids))
+                    (fi, g.tracking_id in matched_ids, t))
             new_match = {}
             for g, p, _ in matches:
                 if g.tracking_id in prev_match \
@@ -198,6 +215,10 @@ def compute_thresholds(gt_scenes, pred_scenes, dist_th: float,
     curve, nan above the achieved maximum)."""
     base = accumulate_class(gt_scenes, pred_scenes, dist_th,
                             -np.inf, collect_match_scores=True)
+    return _thresholds_from_base(base, nelem, min_recall)
+
+
+def _thresholds_from_base(base: Dict, nelem: int, min_recall: float):
     ngt = max(base['gt'], 1)
     scores = np.sort(np.asarray(base['match_scores'], np.float64))[::-1]
     recalls = np.linspace(min_recall, 1.0, nelem).round(12)
@@ -211,15 +232,20 @@ def compute_thresholds(gt_scenes, pred_scenes, dist_th: float,
 
 
 def accumulate_curve(gt_scenes, pred_scenes, dist_th: float,
-                     nelem: int = 40, min_recall: float = 0.1) -> Dict:
+                     nelem: int = 40, min_recall: float = 0.1,
+                     scene_times: Sequence[List[float]] = None) -> Dict:
     """Per-recall-threshold metric rows (TrackingMetricData analogue).
 
     Returns {field: np.ndarray[nelem]} over MD_FIELDS; rows at
     unachieved recalls carry motar=0, motp=dist_th and nan elsewhere
-    (reference algo.py unachieved-threshold convention).
+    (reference algo.py unachieved-threshold convention).  scene_times:
+    optional real frame timestamps (seconds) per scene — see
+    ``accumulate_class``.
     """
-    thresholds, recalls = compute_thresholds(gt_scenes, pred_scenes,
-                                             dist_th, nelem, min_recall)
+    base = accumulate_class(gt_scenes, pred_scenes, dist_th, -np.inf,
+                            collect_match_scores=True,
+                            scene_times=scene_times)
+    thresholds, recalls = _thresholds_from_base(base, nelem, min_recall)
     md = {f: np.full(nelem, np.nan) for f in MD_FIELDS}
     md['confidence'] = thresholds
     md['recall'] = recalls          # hypothetical recall axis
@@ -231,7 +257,8 @@ def accumulate_curve(gt_scenes, pred_scenes, dist_th: float,
             continue
         if thr not in cache:
             cache[thr] = accumulate_class(gt_scenes, pred_scenes,
-                                          dist_th, thr)
+                                          dist_th, thr,
+                                          scene_times=scene_times)
         st = cache[thr]
         ngt = st['gt']
         # nuScenes MOTAR uses the MEASURED recall of the row.
@@ -273,9 +300,12 @@ def summarize_curve(md: Dict, dist_th: float) -> Dict[str, float]:
 
 def amota_amotp(gt_frames: List[List], pred_frames: List[List],
                 dist_th: float, nelem: int = 40,
-                min_recall: float = 0.1) -> Dict[str, float]:
+                min_recall: float = 0.1,
+                frame_times: List[float] = None) -> Dict[str, float]:
     """Single-scene convenience wrapper (kept for the original API):
     the flat frame lists are treated as one scene."""
     md = accumulate_curve([gt_frames], [pred_frames], dist_th,
-                          nelem=nelem, min_recall=min_recall)
+                          nelem=nelem, min_recall=min_recall,
+                          scene_times=(None if frame_times is None
+                                       else [frame_times]))
     return summarize_curve(md, dist_th)

@@ -94,9 +94,16 @@ class TrackingEval:
 
     def main(self, render_curves: bool = True) -> Dict[str, float]:
         per_scene = self._scene_frames()
+        # Real sample timestamps (token = microseconds, database.py) so
+        # TID/LGD are measured in actual elapsed seconds, not an assumed
+        # fixed keyframe period.
+        sample_ts = {s['token']: s.get('timestamp', int(s['token'])) / 1e6
+                     for s in self.newsc.sample}
         metrics = {}
         per_class = defaultdict(list)
         md_per_class = {}
+        scene_times = [[sample_ts[tok] for tok in tokens]
+                       for tokens in per_scene.values()]
         for cls in self.cfg.tracking_names:
             gt_scenes, pred_scenes = [], []
             for scene, tokens in per_scene.items():
@@ -109,7 +116,8 @@ class TrackingEval:
             md = accumulate_curve(gt_scenes, pred_scenes,
                                   self.cfg.dist_th_tp,
                                   nelem=self.cfg.nelem,
-                                  min_recall=self.cfg.min_recall)
+                                  min_recall=self.cfg.min_recall,
+                                  scene_times=scene_times)
             md_per_class[cls] = md
             res = summarize_curve(md, self.cfg.dist_th_tp)
             for k, v in res.items():

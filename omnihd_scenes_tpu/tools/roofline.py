@@ -52,9 +52,14 @@ def chained_time(fn, args, iters):
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     float(loop(*args))  # compile + warm
-    t0 = time.perf_counter()
-    float(loop(*args))
-    return (time.perf_counter() - t0) / iters
+    # Min of a few timed runs: a single run inherits full run-to-run
+    # noise, which skews the two-point fit (ADVICE r3).
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
 
 
 def probe_dot(n, iters, dtype='bfloat16'):
@@ -110,7 +115,17 @@ def fit_peak(r1, r2, n1, n2):
     f1, f2 = 2.0 * n1 ** 3, 2.0 * n2 ** 3
     t1, t2 = r1['ms'] * 1e-3, r2['ms'] * 1e-3
     # t = f/R + o  =>  R = (f2 - f1) / (t2 - t1),  o = t1 - f1/R
-    R = (f2 - f1) / max(t2 - t1, 1e-12)
+    # The fit is only meaningful if the larger dot measurably takes
+    # longer; otherwise (timing noise, tiny --small shapes on a fast
+    # CPU) flag the measurement instead of printing a clamped,
+    # astronomically large peak (ADVICE r3).
+    if t2 - t1 <= 0.05 * t1:
+        return {'probe': 'fitted', 'practical_peak_tflops': None,
+                'per_iter_overhead_ms': None,
+                'error': 'non-monotonic timings: '
+                         f't({n1})={t1 * 1e3:.3f}ms '
+                         f't({n2})={t2 * 1e3:.3f}ms'}
+    R = (f2 - f1) / (t2 - t1)
     o = t1 - f1 / R
     return {'probe': 'fitted', 'practical_peak_tflops': round(R / 1e12, 1),
             'per_iter_overhead_ms': round(o * 1e3, 3)}

@@ -107,13 +107,21 @@ def load_checkpoint(ckpt_dir: str, state: TrainState,
     resume-from-a-file semantics (``tools/train.py`` resume_from)."""
     import orbax.checkpoint as ocp
 
-    base = os.path.basename(os.path.normpath(ckpt_dir))
-    entries = [d for d in os.listdir(ckpt_dir) if d.startswith('ckpt_')]
-    if (step is None and not entries and base.startswith('ckpt_')
-            and base.split('_')[1].isdigit()):
-        # A specific checkpoint was passed directly.
+    # A specific checkpoint is recognized by orbax metadata presence,
+    # not by its directory NAME: an empty/partially deleted dir that
+    # happens to be called ckpt_N must fall through to the clear
+    # 'no checkpoints in ...' assert instead of failing deep inside
+    # orbax restore (ADVICE r3).
+    is_ckpt = os.path.exists(os.path.join(ckpt_dir,
+                                          '_CHECKPOINT_METADATA'))
+    if is_ckpt:
+        assert step is None, (
+            f'{ckpt_dir} is itself a checkpoint; an explicit step='
+            f'{step} cannot also be applied')
         path = os.path.abspath(os.path.normpath(ckpt_dir))
     else:
+        entries = [d for d in os.listdir(ckpt_dir)
+                   if d.startswith('ckpt_')]
         if step is None:
             ckpts = sorted(entries, key=lambda d: int(d.split('_')[1]))
             assert ckpts, f'no checkpoints in {ckpt_dir}'

@@ -1,6 +1,7 @@
 """Smaller components: beam reduction, chamfer, MM layer, eval render,
 shell wrappers."""
 
+import os
 import os.path as osp
 
 import jax
@@ -150,3 +151,43 @@ def test_make_predict_fn_generic_returns_callable_all_families():
                    variables.get('batch_stats', {}), batch)
     boxes, scores, labels, valid = dets
     assert boxes.shape[0] == 1 and occ is None
+
+
+class TestCheckpointPathDetection:
+    """load_checkpoint recognizes a specific checkpoint by orbax
+    metadata, not by directory name (ADVICE r3): an empty dir named
+    ckpt_N must fail with the clear 'no checkpoints' assert, and a
+    direct checkpoint path must not accept an extra explicit step."""
+
+    def _state(self):
+        import optax
+        from omnihd_scenes_tpu.train.loop import create_train_state
+        variables = {'params': {'w': np.arange(4.0, dtype=np.float32)}}
+        return create_train_state(variables, optax.sgd(0.1))
+
+    def test_roundtrip_dir_and_direct_path(self, tmp_path):
+        from omnihd_scenes_tpu.train.loop import (load_checkpoint,
+                                                  save_checkpoint)
+        state = self._state()
+        ckpt_dir = str(tmp_path / 'work')
+        os.makedirs(ckpt_dir)
+        save_checkpoint(ckpt_dir, state, step=7)
+        # Latest-in-dir restore.
+        r1 = load_checkpoint(ckpt_dir, state)
+        np.testing.assert_array_equal(np.asarray(r1.params['w']),
+                                      np.arange(4.0))
+        # Direct checkpoint path restore (the --resume-from form).
+        r2 = load_checkpoint(os.path.join(ckpt_dir, 'ckpt_7'), state)
+        np.testing.assert_array_equal(np.asarray(r2.params['w']),
+                                      np.arange(4.0))
+        # Direct path + explicit step is contradictory.
+        with pytest.raises(AssertionError, match='itself a checkpoint'):
+            load_checkpoint(os.path.join(ckpt_dir, 'ckpt_7'), state,
+                            step=3)
+
+    def test_empty_ckpt_named_dir_fails_clearly(self, tmp_path):
+        from omnihd_scenes_tpu.train.loop import load_checkpoint
+        empty = tmp_path / 'ckpt_42'
+        empty.mkdir()
+        with pytest.raises(AssertionError, match='no checkpoints'):
+            load_checkpoint(str(empty), self._state())

@@ -162,6 +162,24 @@ class TestScenarioTable:
         assert c2['ml'] == 1
         assert np.isnan(c2['tid']) and np.isnan(c2['lgd'])
 
+    def test_real_timestamps_drive_tid_lgd(self):
+        """scene_times replaces the fixed 0.5 s assumption: TID/LGD
+        follow real (non-uniform) sample timestamps."""
+        gt, pred = self._scene([0, 0, 1, 1, 0, 1])
+        # Non-uniform cadence: big gap between frames 1 and 2.
+        times = [0.0, 0.4, 2.4, 2.9, 3.3, 3.8]
+        c = accumulate_class([gt], [pred], 2.0, score_thr=0.0,
+                             scene_times=[times])
+        assert c['tid'] == pytest.approx(2.4)    # t[2] - t[0]
+        assert c['lgd'] == pytest.approx(2.4)    # leading gap in seconds
+        # Uniform 0.5 s timestamps reproduce the default exactly.
+        c_def = accumulate_class([gt], [pred], 2.0, score_thr=0.0)
+        c_uni = accumulate_class([gt], [pred], 2.0, score_thr=0.0,
+                                 scene_times=[[0.5 * i
+                                               for i in range(6)]])
+        assert c_uni['tid'] == pytest.approx(c_def['tid'])
+        assert c_uni['lgd'] == pytest.approx(c_def['lgd'])
+
     def test_faf_counts_false_alarms_per_frame(self):
         gt, pred = self._scene([1] * 10, extra_fp=2)
         c = accumulate_class([gt], [pred], 2.0, score_thr=0.0)
