@@ -144,6 +144,23 @@ def main_bevformer(batch: int = 1, sca_cap: float = 0.375):
     # tests/test_sca_cap.py) and cuts the deformable-attention gather
     # rows (the measured bottleneck, BENCH.md) by ~1/cap.
     cfg = BEVFormerConfig(sca_query_cap=sca_cap)
+    if batch > 1:
+        # Preflight: tap tensors scale linearly with the stream count;
+        # b4 at production scale is measured to CRASH the TPU worker
+        # (not a clean RESOURCE_EXHAUSTED).  Refuse with a message.
+        from omnihd_scenes_tpu.models.bevformer.detector import (
+            check_stream_batch_fits)
+        try:
+            check_stream_batch_fits(cfg, batch)
+        except ValueError as e:
+            print(f'# refused: {e}', file=sys.stderr)
+            print(json.dumps({
+                'metric': 'bevformer_t_stream_infer_samples_per_sec',
+                'value': None, 'unit': 'samples/sec/chip',
+                'batch': batch,
+                'error': 'hbm_preflight_refused',
+            }))
+            return
     model = BEVFormerDetector(cfg)
     b = batch
 

@@ -141,3 +141,82 @@ class BEVFormerDetector(nn.Module):
         feats = self.extract_img_feat(imgs, train=train)
         return self.pts_bbox_head(feats, can_bus, lidar2img, img_hw,
                                   prev_bev=prev_bev, has_prev=has_prev)
+
+
+def sca_overflow_for_rig(cfg: BEVFormerConfig,
+                         lidar2img: np.ndarray) -> int:
+    """Host-side serving preflight: hit queries a given rig would DROP
+    under ``cfg.sca_query_cap``.
+
+    The static per-camera SCA rebatching (attention.py
+    ``SpatialCrossAttention.query_cap``) is exactly equivalent to the
+    reference's dynamic ``max_len`` rebatching
+    (``spatial_cross_attention.py:136-154``) only while no camera's hit
+    count exceeds the cap; beyond it, overflowing queries silently lose
+    that camera's contribution.  This evaluates the projection geometry
+    for one rig (``lidar2img``: (num_cam, 4, 4)) on the host and
+    returns the total dropped-query count — serving entry points
+    (tools/test.py) call it per distinct rig and fail loudly on a
+    nonzero result instead of silently degrading.
+    """
+    if cfg.sca_query_cap >= 1.0:
+        return 0
+    from omnihd_scenes_tpu.models.bevformer.attention import (
+        sca_cap_overflow)
+    from omnihd_scenes_tpu.models.bevformer.encoder import (
+        get_reference_points_3d, point_sampling)
+
+    z_range = cfg.pc_range[5] - cfg.pc_range[2]
+    ref_3d = jnp.asarray(get_reference_points_3d(
+        cfg.bev_h, cfg.bev_w, 4, z_range))
+    _, bev_mask = point_sampling(ref_3d, cfg.pc_range,
+                                 jnp.asarray(lidar2img, jnp.float32),
+                                 cfg.img_hw)
+    return int(sca_cap_overflow(bev_mask, cfg.sca_query_cap))
+
+
+def estimate_stream_batch_hbm_gb(cfg: BEVFormerConfig,
+                                 batch: int) -> float:
+    """Rough HBM estimate for the scene-parallel batched streaming
+    forward (``run_streaming_inference_batched`` / ``bench.py
+    --bevformer --batch N``).
+
+    The deformable-attention tap tensors scale linearly with the stream
+    count: under ``vmap`` the per-chunk query bound in
+    ``ops/ms_deform_attn.py`` multiplies by B, and XLA keeps several
+    chunk buffers plus backbone/neck activations live concurrently.
+    Calibrated against v5e measurements (BENCH.md round 3): b2 fits the
+    16 GB chip, b4 killed the TPU worker — i.e. ~3.4 GB/stream at the
+    production scale (160x240 BEV, 256 dims, 6 cams at 544x960).  The
+    estimate scales those measurements by the config's tensor volumes;
+    it is a preflight guard, not a profiler.
+    """
+    prod_gb_per_stream = 3.4
+    nq_scale = (cfg.bev_h * cfg.bev_w) / (160 * 240)
+    dim_scale = cfg.embed_dims / 256
+    img_scale = (cfg.img_hw[0] * cfg.img_hw[1] * cfg.num_cams
+                 ) / (544 * 960 * 6)
+    # Taps dominate (~2/3, scale with BEV queries x dims); backbone
+    # activations are the rest (scale with image pixels).
+    per_stream = prod_gb_per_stream * (
+        0.67 * nq_scale * dim_scale + 0.33 * img_scale)
+    return batch * per_stream
+
+
+def check_stream_batch_fits(cfg: BEVFormerConfig, batch: int,
+                            budget_gb: float = 13.0) -> None:
+    """Raise with a clear message when the batched streaming forward is
+    projected to exceed HBM (the b4 failure mode was an uncontrolled
+    TPU worker crash, not a clean RESOURCE_EXHAUSTED — VERDICT r3)."""
+    est = estimate_stream_batch_hbm_gb(cfg, batch)
+    if est > budget_gb:
+        raise ValueError(
+            f'batched BEVFormer streaming with batch={batch} is '
+            f'projected to need ~{est:.1f} GB HBM (> {budget_gb:.1f} GB '
+            f'usable on a 16 GB chip) — the deformable-attention tap '
+            f'tensors scale linearly with the stream count and this '
+            f'configuration is measured to crash the TPU worker. Use a '
+            f'smaller --batch (b2 fits at production scale), or run '
+            f'one stream per dispatch (the default, and also the '
+            f'fastest: gather rows scale with B, so scene-parallelism '
+            f'adds no throughput — BENCH.md round 3).')

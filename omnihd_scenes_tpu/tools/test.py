@@ -146,6 +146,33 @@ def main():
     if mtype == 'bevformer':
         if args.host_nms:
             print('--host-nms ignored: bevformer decode is NMS-free')
+        # Serving preflight: the static SCA query cap silently drops a
+        # camera's contribution for overflowing hit queries — exact
+        # only while the rig geometry stays under the cap
+        # (attention.py; the reference rebatches dynamically and never
+        # drops, spatial_cross_attention.py:136-154).  Check every
+        # distinct rig in the eval set and fail LOUDLY on overflow.
+        if model.cfg.sca_query_cap < 1.0:
+            from omnihd_scenes_tpu.models.bevformer.detector import (
+                sca_overflow_for_rig)
+            # One projection per distinct scene rig (calibration is
+            # static within a scene).
+            checked = set()
+            total_overflow = 0
+            for idx in range(len(dataset)):
+                scene = dataset.infos[idx].get('scene_token', '')
+                if scene in checked:
+                    continue
+                checked.add(scene)
+                ov = sca_overflow_for_rig(model.cfg,
+                                          dataset[idx]['lidar2img'])
+                total_overflow += ov
+            if total_overflow > 0:
+                print(f'WARNING: sca_query_cap={model.cfg.sca_query_cap} '
+                      f'DROPS {total_overflow} hit queries across '
+                      f'{len(checked)} scene rigs — results will NOT '
+                      f'match the dense formulation. Raise sca_query_cap '
+                      f'(1.0 = exact masked-dense) for this rig.')
         stream_batch = int(cfg.data.get('samples_per_device', 1) or 1)
         if stream_batch > 1:
             from omnihd_scenes_tpu.train.builder import (
@@ -156,7 +183,8 @@ def main():
             predict_b = make_predict_stream_batched(
                 model, extra_variables=quant_vars)
             bbox_results = run_streaming_inference_batched(
-                predict_b, state, dataset, bev_shape, stream_batch)
+                predict_b, state, dataset, bev_shape, stream_batch,
+                model_cfg=model.cfg)
         else:
             predict_stream = make_predict_fn_generic(
                 model, mtype, extra_variables=quant_vars)

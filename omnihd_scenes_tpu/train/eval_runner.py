@@ -113,14 +113,25 @@ def evaluate_results(dataset, outputs: Dict, dataroot: str, version: str,
 
 
 def run_streaming_inference_batched(predict_stream_batched, state, dataset,
-                                    bev_shape, batch_size: int) -> List[Dict]:
+                                    bev_shape, batch_size: int,
+                                    model_cfg=None) -> List[Dict]:
     """Scene-parallel streaming eval: ``batch_size`` independent
     temporal streams, each walking a contiguous block of the dataset
     (the reference's rank-contiguous DistributedSampler layout,
     ``samplers/distributed_sampler.py:35-37``, turned into batch
     slots).  One device dispatch serves all streams per step instead
-    of one per sample."""
+    of one per sample.
+
+    ``model_cfg`` (a BEVFormerConfig) enables the HBM preflight: the
+    deformable-attention tap tensors scale linearly with the stream
+    count and an oversized batch crashes the TPU worker uncontrolledly
+    (BENCH.md r3) — refuse with a clear error instead."""
     from omnihd_scenes_tpu.data.temporal_dataset import StreamingEvalState
+
+    if model_cfg is not None:
+        from omnihd_scenes_tpu.models.bevformer.detector import (
+            check_stream_batch_fits)
+        check_stream_batch_fits(model_cfg, batch_size)
 
     n = len(dataset)
     batch_size = max(1, min(batch_size, n))

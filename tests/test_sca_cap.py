@@ -144,3 +144,45 @@ class TestProductionGeometry:
                                      jnp.asarray(l2i), (544, 960))
         any_cam = np.asarray(jnp.any(bev_mask, (0, 2)))
         assert any_cam.mean() > 0.7, any_cam.mean()
+
+
+class TestServingPreflight:
+    """VERDICT r3 #7: overflow must be loud in serving; the batched
+    streaming mode must refuse oversized batches instead of crashing
+    the TPU worker."""
+
+    def test_sca_overflow_for_rig(self):
+        from omnihd_scenes_tpu.models.bevformer.detector import (
+            BEVFormerConfig, sca_overflow_for_rig)
+        l2i = ring_rig_lidar2img(img_hw=(544, 960))
+        ok = BEVFormerConfig(sca_query_cap=0.375)
+        assert sca_overflow_for_rig(ok, l2i) == 0
+        tight = BEVFormerConfig(sca_query_cap=0.05)
+        assert sca_overflow_for_rig(tight, l2i) > 0
+        # Dense formulation never drops by construction.
+        dense = BEVFormerConfig(sca_query_cap=1.0)
+        assert sca_overflow_for_rig(dense, l2i) == 0
+
+    def test_hbm_preflight_refuses_oversized_batch(self):
+        from omnihd_scenes_tpu.models.bevformer.detector import (
+            BEVFormerConfig, check_stream_batch_fits)
+        cfg = BEVFormerConfig(sca_query_cap=0.375)
+        check_stream_batch_fits(cfg, 2)      # measured to fit (BENCH.md)
+        with pytest.raises(ValueError, match='projected to need'):
+            check_stream_batch_fits(cfg, 4)  # measured to crash
+
+    def test_batched_runner_preflight(self):
+        """run_streaming_inference_batched raises before touching the
+        device when given an oversized batch + model_cfg."""
+        from omnihd_scenes_tpu.models.bevformer.detector import (
+            BEVFormerConfig)
+        from omnihd_scenes_tpu.train.eval_runner import (
+            run_streaming_inference_batched)
+
+        class _Boom:
+            def __len__(self):
+                return 8
+        with pytest.raises(ValueError, match='projected to need'):
+            run_streaming_inference_batched(
+                None, None, _Boom(), (16, 4), 4,
+                model_cfg=BEVFormerConfig(sca_query_cap=0.375))
