@@ -213,12 +213,17 @@ def main_bevformer(batch: int = 1, sca_cap: float = 0.375):
     t0 = time.perf_counter()
     float(bench_loop(params, stats, *dev))
     dt = time.perf_counter() - t0
+    sps = N_ITERS * b / dt
     print(json.dumps({
         'metric': 'bevformer_t_stream_infer_samples_per_sec',
-        'value': round(N_ITERS * b / dt, 2),
+        'value': round(sps, 2),
         'unit': 'samples/sec/chip',
         'batch': b,
-        'vs_baseline': None,
+        # NOMINAL yardstick (BASELINE.md "BEVFormer-T throughput
+        # yardstick"): paper 1.7 FPS V100 for BEVFormer-base, scaled to
+        # this config and A100-class ≈ 5 samples/s.
+        'baseline': 'nominal_a100_5_samples_per_sec_paper_scaled',
+        'vs_baseline': round(sps / 5.0, 3),
     }))
 
 
