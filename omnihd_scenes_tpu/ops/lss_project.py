@@ -346,8 +346,11 @@ def lss_sample_bev(depth: jnp.ndarray,
         # jax.checkpoint / nn.remat (a closure over traced geometry
         # leaks the tracer when remat re-runs the forward).
         def einsum_ref(d, f, mv, mtt):
+            # sequential=True: the backward (training) runs one camera
+            # at a time so the per-camera cotangent temporaries never
+            # coexist — this is what lets batch-4 training fit HBM.
             return _einsum_all(d, f, mv, mtt, geom, solve_x, b_windows,
-                               compute_dtype)
+                               compute_dtype, sequential=True)
 
         return sample_bev_pallas(depth, feat, minv, mt, geom, solve_x,
                                  b_windows=b_windows,
@@ -358,12 +361,45 @@ def lss_sample_bev(depth: jnp.ndarray,
 
 
 def _einsum_all(depth, feat, minv, mt, geom, solve_x, b_windows,
-                compute_dtype):
-    """Full einsum-impl forward given preprocessed geometry (minv, mt)."""
+                compute_dtype, sequential: bool = False):
+    """Full einsum-impl forward given preprocessed geometry (minv, mt).
+
+    ``sequential=True`` runs the cameras through ``lax.scan`` (grouped
+    by the static ``solve_x`` branch) instead of the unrolled loop.
+    Same function, but scan forces XLA to keep ONE camera's
+    contraction temporaries live at a time — in the backward pass the
+    unrolled loop materializes every camera's (nz, n_b, n_g, D)
+    depth-select cotangent and (nz, n_b, n_g, fH) one-hot concurrently
+    (~2.2 GB f32 at production batch 4, the RESOURCE_EXHAUSTED of
+    BENCH.md round 3); the scan bounds it to one camera (~0.4 GB).
+    Used by the pallas custom_vjp's backward reference (training);
+    serving keeps the unrolled loop, which XLA overlaps better.
+    """
     d_bins = depth.shape[-1]
     c_ch = feat.shape[-1]
     fp = jnp.concatenate([feat, depth], axis=-1).astype(compute_dtype)
     acc = jnp.zeros((geom.nz, geom.ny, geom.nx, c_ch), jnp.float32)
+
+    if sequential and b_windows is None and len(solve_x) > 1:
+        for sx in (True, False):
+            cams = [n for n, s in enumerate(solve_x) if s == sx]
+            if not cams:
+                continue
+            sel = np.asarray(cams)
+
+            def body(carry, xs, sx=sx):
+                fp_n, mv_n, mt_n = xs
+                idx = _sample_indices(mv_n, mt_n, sx, geom, None)
+                out = _variant_einsum(fp_n, *idx, c_ch, d_bins,
+                                      compute_dtype)
+                if not sx:                         # b=x, g=y
+                    out = out.transpose(0, 2, 1, 3)
+                return carry + out.astype(jnp.float32), None
+
+            acc, _ = jax.lax.scan(body, acc,
+                                  (fp[sel], minv[sel], mt[sel]))
+        return acc
+
     # Static per-camera loop: solve_x branches have different shapes.
     for n, sx in enumerate(solve_x):
         win = None if b_windows is None else b_windows[n]

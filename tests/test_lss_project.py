@@ -275,3 +275,41 @@ def test_b_windows_shrink_narrow_fov():
         jnp.asarray(trans), b_windows=wins, **kw))
     assert base.any()
     np.testing.assert_array_equal(got, base)
+
+
+def test_sequential_scan_matches_unrolled(rand_inputs):
+    """The lax.scan camera-sequential formulation (the training
+    backward's memory-bounded path) is the same function as the
+    unrolled loop — forward AND gradients."""
+    from omnihd_scenes_tpu.ops.lss_project import _Geom, _einsum_all
+
+    depth, feat = rand_inputs
+    geom = _Geom((H, W), (FH, FW), (D0, D0 + DD * NDEPTH, DD),
+                 BEV_START, BEV_VOXEL, (NX, NY, NZ))
+    minv = jnp.linalg.inv(jnp.asarray(ROTS))
+    mt = -jnp.einsum('nij,nj->ni', minv, jnp.asarray(TRANS))
+
+    def f(seq):
+        def run(d, ft):
+            return _einsum_all(d, ft, minv, mt, geom, SOLVE_X, None,
+                               jnp.float32, sequential=seq)
+        return run
+
+    out_u = f(False)(depth, feat)
+    out_s = f(True)(depth, feat)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u),
+                               atol=1e-5, rtol=1e-5)
+
+    g = np.random.RandomState(3).randn(*out_u.shape).astype(np.float32)
+
+    def loss(run):
+        return lambda d, ft: jnp.sum(run(d, ft) * g)
+
+    gd_u, gf_u = jax.grad(loss(f(False)), argnums=(0, 1))(
+        jnp.asarray(depth), jnp.asarray(feat))
+    gd_s, gf_s = jax.grad(loss(f(True)), argnums=(0, 1))(
+        jnp.asarray(depth), jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(gd_s), np.asarray(gd_u),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf_s), np.asarray(gf_u),
+                               atol=1e-4, rtol=1e-4)
