@@ -76,13 +76,18 @@ def make_loss_fn(model: PointPillars, head_cfg: HeadLossConfig = None):
     return loss_fn
 
 
-def make_predict_fn(model: PointPillars, decode_cfg: DecodeCfg = None):
+def make_predict_fn(model: PointPillars, decode_cfg: DecodeCfg = None,
+                    extra_variables: Dict = None):
+    """``extra_variables``: additional variable collections merged into
+    the apply (e.g. the ``quant`` collection for the int8 tier)."""
     decode_cfg = decode_cfg or DecodeCfg()
     anchors_np = model.cfg.anchors()
+    extra = extra_variables or {}
 
     @jax.jit
     def predict(params, batch_stats, points, points_mask, anchors_b):
-        out = model.apply({'params': params, 'batch_stats': batch_stats},
+        out = model.apply({'params': params, 'batch_stats': batch_stats,
+                           **extra},
                           points, points_mask, train=False)
         return jax.vmap(partial(anchor_head_get_bboxes, cfg=decode_cfg))(
             out['cls_score'], out['bbox_pred'], out['dir_pred'], anchors_b)
