@@ -58,15 +58,18 @@ def main_train(batch: int = 1, remat: bool = None):
     cfg = BEVFusionConfig(remat=remat)
     model = BEVFusion(cfg)
 
+    from omnihd_scenes_tpu.utils.rig import ring_rig_img2lidar
+    _rig_rt = ring_rig_img2lidar(img_hw=(544, 960))
+
     b, n_pts, max_gt = batch, 40000, 64
     rng = np.random.RandomState(0)
     batch = {
         'points': rng.uniform(-50, 50, (b, n_pts, 8)).astype(np.float32),
         'points_mask': np.ones((b, n_pts), bool),
         'imgs': rng.randn(b, 6, 544, 960, 3).astype(np.float32),
-        'img2lidar_rots': np.tile(np.eye(3, dtype=np.float32) * 0.01,
-                                  (b, 6, 1, 1)),
-        'img2lidar_trans': np.zeros((b, 6, 3), np.float32),
+        # Realistic rig (see main()'s geometry note).
+        'img2lidar_rots': np.tile(_rig_rt[0][None], (b, 1, 1, 1)),
+        'img2lidar_trans': np.tile(_rig_rt[1][None], (b, 1, 1)),
         'gt_boxes': rng.uniform(-40, 40, (b, max_gt, 9)).astype(np.float32),
         'gt_labels': rng.randint(0, 4, (b, max_gt)).astype(np.int32),
         'gt_mask': np.ones((b, max_gt), bool),
@@ -265,8 +268,15 @@ def main(int8: bool = False, batch: int = 1, host_nms: bool = False,
     points[..., 2] = rng.uniform(-2, 4, size=(b, n_pts))
     mask = np.ones((b, n_pts), dtype=bool)
     imgs = rng.randn(b, 6, 544, 960, 3).astype(np.float32)
-    rots = np.tile(np.eye(3, dtype=np.float32) * 0.01, (b, 6, 1, 1))
-    trans = np.zeros((b, 6, 3), np.float32)
+    # Realistic surround-rig geometry (static per rig; same honesty
+    # fix the bevformer bench got in round 3 — a degenerate eye*0.01
+    # projection gives the view transform an unrepresentative validity
+    # pattern).  FLOP count is geometry-independent (one-hot dots), so
+    # the throughput comparison to earlier rounds stays valid.
+    from omnihd_scenes_tpu.utils.rig import ring_rig_img2lidar
+    rig_rots, rig_trans = ring_rig_img2lidar(img_hw=(544, 960))
+    rots = np.tile(rig_rots[None], (b, 1, 1, 1))
+    trans = np.tile(rig_trans[None], (b, 1, 1))
 
     variables = model.init(jax.random.PRNGKey(0), points, mask,
                            imgs, rots, trans, train=False)

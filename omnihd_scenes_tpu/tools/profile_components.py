@@ -155,9 +155,10 @@ def probe_splat(b, iters):
         ).astype(jnp.bfloat16)
     feat = jnp.asarray(rng.randn(b, 6, 136, 240, cfg.camC).astype(
         np.float32)).astype(jnp.bfloat16)
-    rots = jnp.asarray(np.tile(np.eye(3, dtype=np.float32) * 0.01,
-                               (6, 1, 1)))
-    trans = jnp.zeros((6, 3), jnp.float32)
+    from omnihd_scenes_tpu.utils.rig import ring_rig_img2lidar
+    rig_rots, rig_trans = ring_rig_img2lidar(img_hw=cfg.final_dim)
+    rots = jnp.asarray(rig_rots)
+    trans = jnp.asarray(rig_trans)
     nx, ny, nz = cfg.bev_nx
 
     def one(d, f):

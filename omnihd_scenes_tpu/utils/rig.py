@@ -63,3 +63,27 @@ def ring_rig_lidar2img(img_hw: Tuple[int, int] = (544, 960),
         proj[:3, :3] = k
         out.append(proj @ ego2cam)
     return np.asarray(out, np.float32)
+
+
+def ring_rig_img2lidar(img_hw: Tuple[int, int] = (544, 960),
+                       yaws_deg: Sequence[float] = OMNIHD_CAMERA_YAWS,
+                       focal_frac: float = 0.8,
+                       cam_height: float = 1.6,
+                       cam_radius: float = 1.5):
+    """(rots (N, 3, 3), trans (N, 3)) float32 in the LSS convention
+    ``p_ego = rots @ (u*d, v*d, d) + trans`` (intrinsic inverse folded
+    into the rotation — ``models/lss.py`` / ``ops/lss_project.py``).
+    Same rig as :func:`ring_rig_lidar2img`.
+    """
+    h, w = img_hw
+    k = np.array([[focal_frac * w, 0.0, w / 2.0],
+                  [0.0, focal_frac * w, h / 2.0],
+                  [0.0, 0.0, 1.0]])
+    k_inv = np.linalg.inv(k)
+    rots, trans = [], []
+    for yaw in yaws_deg:
+        rot = _yaw_mat(np.deg2rad(yaw)) @ _CAM_BASE       # cam->ego
+        rots.append(rot @ k_inv)
+        trans.append(_yaw_mat(np.deg2rad(yaw)) @ np.array(
+            [cam_radius, 0.0, cam_height]))
+    return (np.asarray(rots, np.float32), np.asarray(trans, np.float32))
