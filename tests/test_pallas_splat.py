@@ -131,6 +131,8 @@ def test_pallas_banded_pass2_matches_einsum(rand_inputs, monkeypatch):
                                      **KW))
     monkeypatch.setattr(ps, '_BAND_MIN_FH', FH)   # enable at test scale
     monkeypatch.setattr(ps, '_BAND', 8)           # force fallback rows
+    monkeypatch.setattr(ps, '_BAND1_MIN_FW', FW)  # kernel-A banding too
+    monkeypatch.setattr(ps, '_BAND1', 8)
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(lss_sample_bev(depth, feat, jnp.asarray(ROTS),
                                         jnp.asarray(TRANS), impl='pallas',
