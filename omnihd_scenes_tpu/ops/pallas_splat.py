@@ -49,15 +49,6 @@ from jax.experimental.pallas import tpu as pltpu
 _TB = 80        # b-values per kernel-B step (divides padded NBP)
 _KZ = 4         # z-slices per kernel-A step
 
-# Kernel-B adaptive banding (see _pass2_kernel): band width and the
-# minimum fH to enable it.  Module-level so tests can shrink them to
-# exercise the banded + fallback branches in interpret mode.
-_BAND = 80
-_BAND_MIN_FH = 112
-# Kernel-A adaptive banding (see _pass1_kernel), same convention.
-_BAND1 = 128
-_BAND1_MIN_FW = 192
-
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -74,75 +65,19 @@ def _chunk(n: int, target: int) -> int:
     return c if c >= 8 and n % c == 0 else n
 
 
-def _pass1_kernel(i_ref, f_ref, o_ref, *, f_w, jc, kz, cb, band):
-    m = o_ref.shape[-1]
+def _pass1_kernel(i_ref, f_ref, o_ref, *, f_w, jc, kz):
     for kk in range(kz):                               # static unroll
         for jj in range(jc):
-            idx_row = i_ref[0, kk, jj, :]              # (NBP,) int32
-            nbp = idx_row.shape[0]
-            for c0 in range(0, nbp, cb):               # b-chunks
-                idx = idx_row[c0:c0 + cb]
-                # Chunk skip: on a real rig most (j, z, b-chunk) blocks
-                # project nothing into the image (measured r4: ~50% of
-                # front-camera and ~79% of side-camera chunks are dead)
-                # — their one-hot is all-zero, so the dot is skipped
-                # and the output chunk zeroed.  Exact for any geometry.
-                valid = idx >= 0
-                live = jnp.any(valid)
-                if band is None or band >= f_w:
-                    @pl.when(live)
-                    def _(kk=kk, jj=jj, c0=c0, idx=idx):
-                        iota = jax.lax.broadcasted_iota(
-                            jnp.int32, (idx.shape[0], f_w), 1)
-                        onehot = (idx[:, None] == iota).astype(
-                            jnp.bfloat16)
-                        o_ref[0, kk, jj, c0:c0 + cb] = jnp.dot(
-                            onehot, f_ref[0, jj],
-                            preferred_element_type=jnp.float32
-                        ).astype(o_ref.dtype)
-                else:
-                    # Adaptive banding (same scheme as kernel B): per
-                    # live chunk the valid image columns span a narrow
-                    # band for front cameras (p90 spread 117 of fW=240
-                    # per 80-b chunk, r4 measurement); contract only a
-                    # `band`-column window, full fallback when the
-                    # spread exceeds it.  Exact for any geometry.
-                    i_lo = jnp.min(jnp.where(valid, idx, f_w))
-                    i_hi = jnp.max(jnp.where(valid, idx, -1))
-                    # mul-by-8 LAST so Mosaic can statically prove the
-                    # dynamic sublane-dim slice start is 8-aligned.
-                    start = jnp.clip(i_lo // 8, 0, (f_w - band) // 8) * 8
-                    fits = live & (i_hi < start + band)
-
-                    @pl.when(fits)
-                    def _(kk=kk, jj=jj, c0=c0, idx=idx, start=start):
-                        iota = jax.lax.broadcasted_iota(
-                            jnp.int32, (idx.shape[0], band), 1) + start
-                        onehot = (idx[:, None] == iota).astype(
-                            jnp.bfloat16)
-                        o_ref[0, kk, jj, c0:c0 + cb] = jnp.dot(
-                            onehot, f_ref[0, jj, pl.dslice(start, band)],
-                            preferred_element_type=jnp.float32
-                        ).astype(o_ref.dtype)
-
-                    @pl.when(live & jnp.logical_not(fits))
-                    def _(kk=kk, jj=jj, c0=c0, idx=idx):
-                        iota = jax.lax.broadcasted_iota(
-                            jnp.int32, (idx.shape[0], f_w), 1)
-                        onehot = (idx[:, None] == iota).astype(
-                            jnp.bfloat16)
-                        o_ref[0, kk, jj, c0:c0 + cb] = jnp.dot(
-                            onehot, f_ref[0, jj],
-                            preferred_element_type=jnp.float32
-                        ).astype(o_ref.dtype)
-
-                @pl.when(jnp.logical_not(live))
-                def _(kk=kk, jj=jj, c0=c0):
-                    o_ref[0, kk, jj, c0:c0 + cb] = jnp.zeros(
-                        (cb, m), o_ref.dtype)
+            idx = i_ref[0, kk, jj, :]                  # (NBP,) int32
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (idx.shape[0], f_w), 1)
+            onehot = (idx[:, None] == iota).astype(jnp.bfloat16)
+            o_ref[0, kk, jj] = jnp.dot(
+                onehot, f_ref[0, jj], preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
 
 
-def _pass2_kernel(j_ref, kd_ref, i_ref, out_ref, *, f_h, c_f, tb, band):
+def _pass2_kernel(j_ref, kd_ref, i_ref, out_ref, *, f_h, c_f, tb):
     n = pl.program_id(2)
 
     @pl.when(n == 0)
@@ -152,62 +87,18 @@ def _pass2_kernel(j_ref, kd_ref, i_ref, out_ref, *, f_h, c_f, tb, band):
     ng, m = out_ref.shape[2], out_ref.shape[3]
     # Depth lanes sit at [c_f, c_f + CD); lane c_f + kd is the bin.
     lane_d = jax.lax.broadcasted_iota(jnp.int32, (ng, m), 1) - c_f
-
-    def accum(b, taps, kd):
+    for b in range(tb):                                # static unroll
+        jdx = j_ref[0, 0, b, :]                        # (NG,)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (ng, f_h), 1)
+        onehot = (jdx[:, None] == iota_j).astype(jnp.bfloat16)
+        taps = jnp.dot(onehot, i_ref[0, 0, :, b, :],
+                       preferred_element_type=jnp.float32)    # (NG, M)
+        kd = kd_ref[0, 0, b, :]
         # Guard kd=-1 (invalid depth): lane c_f-1 has lane_d == -1 and
         # would otherwise select a FEATURE value as the depth weight.
         sel = (lane_d == kd[:, None]) & (kd[:, None] >= 0)
         w = jnp.sum(jnp.where(sel, taps, 0.0), axis=-1)
         out_ref[0, b] += (taps * w[:, None]).astype(out_ref.dtype)
-
-    for b in range(tb):                                # static unroll
-        jdx = j_ref[0, 0, b, :]                        # (NG,)
-        kd = kd_ref[0, 0, b, :]
-        valid = jdx >= 0
-        row_live = jnp.any(valid)
-        if band is None or band >= f_h:
-            @pl.when(row_live)
-            def _(b=b, jdx=jdx, kd=kd):
-                iota_j = jax.lax.broadcasted_iota(
-                    jnp.int32, (ng, f_h), 1)
-                onehot = (jdx[:, None] == iota_j).astype(jnp.bfloat16)
-                taps = jnp.dot(onehot, i_ref[0, 0, :, b, :],
-                               preferred_element_type=jnp.float32)
-                accum(b, taps, kd)
-            continue
-
-        # Adaptive banding: j*(g) is a projective (monotone, smooth)
-        # map, so per output row the valid image rows span a narrow
-        # band (measured max spread 66 of fH=136 on the production
-        # rig).  Contract only a `band`-row window starting at the
-        # row's min valid j (8-aligned); rows whose spread exceeds the
-        # band fall back to the full contraction — EXACT for any
-        # geometry, fast for real rigs.
-        j_lo = jnp.min(jnp.where(valid, jdx, f_h))
-        j_hi = jnp.max(jnp.where(valid, jdx, -1))
-        # mul-by-8 LAST: keeps the dynamic slice start provably
-        # 8-aligned for Mosaic (required when the sliced dim lowers to
-        # the sublane dimension).
-        start = jnp.clip(j_lo // 8, 0, (f_h - band) // 8) * 8
-        fits = row_live & (j_hi < start + band)
-
-        @pl.when(fits)
-        def _(b=b, jdx=jdx, kd=kd, start=start):
-            iota_j = jax.lax.broadcasted_iota(
-                jnp.int32, (ng, band), 1) + start
-            onehot = (jdx[:, None] == iota_j).astype(jnp.bfloat16)
-            taps = jnp.dot(onehot, i_ref[0, 0, pl.dslice(start, band),
-                                         b, :],
-                           preferred_element_type=jnp.float32)
-            accum(b, taps, kd)
-
-        @pl.when(row_live & jnp.logical_not(fits))
-        def _(b=b, jdx=jdx, kd=kd):
-            iota_j = jax.lax.broadcasted_iota(jnp.int32, (ng, f_h), 1)
-            onehot = (jdx[:, None] == iota_j).astype(jnp.bfloat16)
-            taps = jnp.dot(onehot, i_ref[0, 0, :, b, :],
-                           preferred_element_type=jnp.float32)
-            accum(b, taps, kd)
 
 
 def _group_forward(fp, i_star, j_star, kd_star, c_f):
@@ -225,11 +116,8 @@ def _group_forward(fp, i_star, j_star, kd_star, c_f):
     jc = _chunk(f_h, 40)
     kz = _chunk(nz, _KZ)
 
-    cb = _chunk(nbp, _TB)
-    band1 = _BAND1 if f_w >= _BAND1_MIN_FW else None
     inter = pl.pallas_call(
-        functools.partial(_pass1_kernel, f_w=f_w, jc=jc, kz=kz, cb=cb,
-                          band=band1),
+        functools.partial(_pass1_kernel, f_w=f_w, jc=jc, kz=kz),
         grid=(g_n, f_h // jc, nz // kz),           # z innermost: fp block
         in_specs=[                                 # stays VMEM-resident
             pl.BlockSpec((1, kz, jc, nbp), lambda n, j, k: (n, k, j, 0),
@@ -255,14 +143,8 @@ def _group_forward(fp, i_star, j_star, kd_star, c_f):
     )(i_star, fp)
 
     tb = _chunk(nbp, _TB)
-    # Band width: generous 8-aligned cover of real-rig j spreads (~66
-    # at production scale); rows that exceed it use the exact full-fH
-    # fallback inside the kernel, so this is a tuning knob, never a
-    # correctness knob.  Disabled when fH is already small.
-    band = _BAND if f_h >= _BAND_MIN_FH else None
     out = pl.pallas_call(
-        functools.partial(_pass2_kernel, f_h=f_h, c_f=c_f, tb=tb,
-                          band=band),
+        functools.partial(_pass2_kernel, f_h=f_h, c_f=c_f, tb=tb),
         grid=(nz, nbp // tb, g_n),                 # cam innermost: output
         in_specs=[                                 # accumulates in VMEM
             pl.BlockSpec((1, 1, tb, ng), lambda k, bc, n: (n, k, bc, 0),

@@ -116,26 +116,3 @@ def test_pallas_invalid_depth_bin_guard(rand_inputs):
                                         impl='pallas', **kw))
     assert want.any()
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
-
-
-def test_pallas_banded_pass2_matches_einsum(rand_inputs, monkeypatch):
-    """Exercise kernel B's adaptive banding (r4): with the band width
-    shrunk below some rows' j-spread, banded rows, full-fallback rows
-    and skipped rows all coexist — output must still match the einsum
-    exactly (the band is a tuning knob, never a correctness knob)."""
-    from omnihd_scenes_tpu.ops import pallas_splat as ps
-
-    depth, feat = rand_inputs
-    want = np.asarray(lss_sample_bev(depth, feat, jnp.asarray(ROTS),
-                                     jnp.asarray(TRANS), impl='einsum',
-                                     **KW))
-    monkeypatch.setattr(ps, '_BAND_MIN_FH', FH)   # enable at test scale
-    monkeypatch.setattr(ps, '_BAND', 8)           # force fallback rows
-    monkeypatch.setattr(ps, '_BAND1_MIN_FW', FW)  # kernel-A banding too
-    monkeypatch.setattr(ps, '_BAND1', 8)
-    with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(lss_sample_bev(depth, feat, jnp.asarray(ROTS),
-                                        jnp.asarray(TRANS), impl='pallas',
-                                        **KW))
-    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
-    assert ((np.abs(got) > 1e-4) == (np.abs(want) > 1e-4)).mean() > 0.999
