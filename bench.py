@@ -231,7 +231,7 @@ def main_bevformer(batch: int = 1, sca_cap: float = 0.375):
 
 
 def main(int8: bool = False, batch: int = 1, host_nms: bool = False,
-         mtl: bool = False):
+         mtl: bool = False, s2d: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -250,7 +250,13 @@ def main(int8: bool = False, batch: int = 1, host_nms: bool = False,
     # training path; parity tested in tests/test_dense_pillars.py,
     # measured 2.7 vs 4.5 ms/sample on v5e — BENCH.md round 3).
     cfg = BEVFusionConfig(
-        pillars=PointPillarsConfig(pillar_impl='dense'))
+        pillars=PointPillarsConfig(pillar_impl='dense'),
+        # --s2d: space-to-depth packed serving input contract — the
+        # host pipeline ships (B,6,272,480,12) images and the backbone
+        # runs the exact folded 4x4/s1 stem (models/resnet.py:_S2DStem;
+        # identity rewrite, tests/test_stem_s2d.py).  The device never
+        # sees a 3-channel conv.
+        stem_s2d=s2d)
     if mtl:
         # --mtl: the occupancy headline (SURVEY §6: BEVFusion-OCC,
         # 240x160x16 @ 0.5 m, 11 classes + free) — fusion trunk +
@@ -268,6 +274,10 @@ def main(int8: bool = False, batch: int = 1, host_nms: bool = False,
     points[..., 2] = rng.uniform(-2, 4, size=(b, n_pts))
     mask = np.ones((b, n_pts), dtype=bool)
     imgs = rng.randn(b, 6, 544, 960, 3).astype(np.float32)
+    if s2d:
+        from omnihd_scenes_tpu.models.resnet import space_to_depth_np
+        imgs = space_to_depth_np(imgs)     # host-side packing (free in
+        #                                    the real pipeline's pad pass)
     # Realistic surround-rig geometry (static per rig; same honesty
     # fix the bevformer bench got in round 3 — a degenerate eye*0.01
     # projection gives the view transform an unrepresentative validity
@@ -443,6 +453,7 @@ def main(int8: bool = False, batch: int = 1, host_nms: bool = False,
         'metric': ('bevfusion_mtl_od_occ' if mtl else 'bevfusion_cam_radar')
                   + '_infer_samples_per_sec'
                   + ('_int8' if int8 else '')
+                  + ('_s2d' if s2d else '')
                   + (f'_b{b}' if b != 4 else ''),
         'value': round(samples_per_sec, 2),
         'unit': 'samples/sec/chip',
@@ -493,4 +504,5 @@ if __name__ == '__main__':
         # --mtl: the occupancy headline (joint OD+OCC flagship).
         main(int8='--int8' in sys.argv, batch=b,
              host_nms='--host-nms' in sys.argv,
-             mtl='--mtl' in sys.argv)
+             mtl='--mtl' in sys.argv,
+             s2d='--s2d' in sys.argv)

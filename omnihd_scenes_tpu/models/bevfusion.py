@@ -88,6 +88,11 @@ class BEVFusionConfig:
     resnet_depth: int = 50
     resnet_out_indices: Tuple[int, ...] = (1, 2, 3)
     frozen_backbone_bn: bool = True
+    # Serving input contract: imgs arrive space_to_depth-packed
+    # (B, N, H/2, W/2, 12) from the host pipeline and the backbone runs
+    # the exact folded stem (models/resnet.py:_S2DStem).  Param trees
+    # and checkpoints are unchanged either way.
+    stem_s2d: bool = False
     lss: LSSConfig = LSSConfig()
     pillars: PointPillarsConfig = PointPillarsConfig()
 
@@ -159,6 +164,7 @@ class BEVFusion(nn.Module):
                 depth=cfg.resnet_depth,
                 out_indices=cfg.resnet_out_indices,
                 frozen_bn=cfg.frozen_backbone_bn,
+                stem_s2d=cfg.stem_s2d,
                 name='ResNet_0')(flat, train)
             feat = trunk(FPNC, 2)(out_channels=256, outC=cfg.imc,
                                   target_hw=cfg.lss.feat_hw,
