@@ -33,7 +33,8 @@ NOMINAL_A100_SAMPLES_PER_SEC = 15.0
 N_ITERS = 16
 
 
-def main_train(batch: int = 1, remat: bool = None):
+def main_train(batch: int = 1, remat: bool = None,
+               remat_exclude: tuple = (), remat_parts: tuple = ()):
     """--train [--batch N] [--remat|--no-remat]: BEVFusion train-step
     throughput (fwd+bwd+optimizer), bf16-compute / f32-state policy,
     N steps chained inside one jit (state carried through the loop is a
@@ -55,7 +56,9 @@ def main_train(batch: int = 1, remat: bool = None):
 
     if remat is None:
         remat = batch > 1
-    cfg = BEVFusionConfig(remat=remat)
+    from omnihd_scenes_tpu.models.lss import LSSConfig
+    cfg = BEVFusionConfig(remat=remat, remat_exclude=tuple(remat_exclude),
+                          lss=LSSConfig(remat_parts=tuple(remat_parts)))
     model = BEVFusion(cfg)
 
     from omnihd_scenes_tpu.utils.rig import ring_rig_img2lidar
@@ -116,6 +119,8 @@ def main_train(batch: int = 1, remat: bool = None):
         'unit': 'samples/sec/chip',
         'batch': b,
         'remat': remat,
+        'remat_exclude': list(remat_exclude),
+        'remat_parts': list(remat_parts),
         'vs_baseline': None,
     }))
 
@@ -482,7 +487,19 @@ if __name__ == '__main__':
             remat = True
         elif '--no-remat' in sys.argv:
             remat = False
-        main_train(batch=b, remat=remat)
+        # Selective remat (BENCH.md "Selective remat"): trunks to keep
+        # un-rematted, e.g. --remat-exclude second,secondfpn,lss
+        # --remat-parts depthnet (remat only DepthNet inside LSS).
+        excl = ()
+        if '--remat-exclude' in sys.argv:
+            excl = tuple(sys.argv[sys.argv.index('--remat-exclude')
+                                  + 1].split(','))
+        parts = ()
+        if '--remat-parts' in sys.argv:
+            parts = tuple(sys.argv[sys.argv.index('--remat-parts')
+                                   + 1].split(','))
+        main_train(batch=b, remat=remat, remat_exclude=excl,
+                   remat_parts=parts)
     elif '--bevformer' in sys.argv:
         b = 1                  # latency mode; --batch N = scene-parallel
         if '--batch' in sys.argv:

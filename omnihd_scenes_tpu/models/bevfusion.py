@@ -82,6 +82,12 @@ class BEVFusionConfig:
     # trunks pin their pre-remat auto-names (nn.remat would otherwise
     # rename the scope) — so checkpoints are interchangeable either way.
     remat: bool = False
+    # Trunks to EXCLUDE from remat when remat=True ('second',
+    # 'secondfpn', 'resnet', 'fpnc', 'lss'): an excluded trunk keeps
+    # its activations (more HBM) and skips the backward-pass recompute
+    # (less time).  Use with LSSConfig.remat_parts for sub-LSS
+    # granularity.  Measured trade-offs in BENCH.md "Selective remat".
+    remat_exclude: Tuple[str, ...] = ()
     num_views: int = 6
     imc: int = 256                     # camera BEV channels
     lic: int = 384                     # radar BEV channels
@@ -121,10 +127,11 @@ class BEVFusion(nn.Module):
         pts_bev = None
         depth = depth_logits = None
 
-        def trunk(cls, train_argnum):
+        def trunk(name, cls, train_argnum):
             # `train` is a Python bool -> must be static under remat.
+            wrap = cfg.remat and name not in cfg.remat_exclude
             return (nn.remat(cls, static_argnums=(train_argnum,))
-                    if cfg.remat else cls)
+                    if wrap else cls)
 
         if cfg.radar_stream and points is not None:
             pc = cfg.pillars
@@ -150,28 +157,29 @@ class BEVFusion(nn.Module):
                 pf = jnp.where(vox.valid[..., None], pf, 0.0)
                 canvas = jax.vmap(lambda f, c, v: scatter_to_bev(
                     f, c, v, pc.bev_hw))(pf, vox.coords, vox.valid)
-            feats = trunk(SECOND, 2)(pc.second_layer_nums, pc.second_strides,
-                                     pc.second_channels,
-                                     name='SECOND_0')(canvas, train)
-            pts_bev = trunk(SECONDFPN, 2)(pc.fpn_strides, pc.fpn_channels,
-                                          name='SECONDFPN_0')(feats, train)
+            feats = trunk('second', SECOND, 2)(
+                pc.second_layer_nums, pc.second_strides,
+                pc.second_channels, name='SECOND_0')(canvas, train)
+            pts_bev = trunk('secondfpn', SECONDFPN, 2)(
+                pc.fpn_strides, pc.fpn_channels,
+                name='SECONDFPN_0')(feats, train)
 
         cam_bev = None
         if cfg.camera_stream and imgs is not None:
             b, n = imgs.shape[:2]
             flat = imgs.reshape((b * n,) + imgs.shape[2:])
-            stages = trunk(ResNet, 2)(
+            stages = trunk('resnet', ResNet, 2)(
                 depth=cfg.resnet_depth,
                 out_indices=cfg.resnet_out_indices,
                 frozen_bn=cfg.frozen_backbone_bn,
                 stem_s2d=cfg.stem_s2d,
                 name='ResNet_0')(flat, train)
-            feat = trunk(FPNC, 2)(out_channels=256, outC=cfg.imc,
+            feat = trunk('fpnc', FPNC, 2)(out_channels=256, outC=cfg.imc,
                                   target_hw=cfg.lss.feat_hw,
                                   name='FPNC_0')(stages, train)
             fh, fw = feat.shape[1:3]
             feat = feat.reshape(b, n, fh, fw, -1)
-            cam_bev, depth, depth_logits = trunk(LiftSplatShoot, 4)(
+            cam_bev, depth, depth_logits = trunk('lss', LiftSplatShoot, 4)(
                 cfg.lss, use_depthnet=cfg.use_depthnet,
                 name='LiftSplatShoot_0')(
                     feat, rots, trans, train)

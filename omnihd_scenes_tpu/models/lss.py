@@ -65,6 +65,13 @@ class LSSConfig:
     # outputs (out-of-FOV cells contribute nothing) but cut the
     # transform's work proportionally.  None = full extent.
     cam_b_windows: Tuple[Tuple[int, int], ...] = None
+    # Selective rematerialization of LSS sub-trunks ('depthnet',
+    # 'bevencode').  Used with BEVFusionConfig(remat_exclude=('lss',)):
+    # instead of rematting the whole LiftSplatShoot (which recomputes
+    # DepthNet + splat + BevEncode, ~27 ms/sample, in the backward),
+    # only the named parts recompute and the rest keep activations.
+    # Param names are pinned, so checkpoints are unchanged either way.
+    remat_parts: Tuple[str, ...] = ()
 
     @property
     def feat_hw(self) -> Tuple[int, int]:
@@ -219,9 +226,15 @@ class LiftSplatShoot(nn.Module):
         nx, ny, nz = cfg.bev_nx
         frustum = jnp.asarray(cfg.frustum())
 
+        def part(name, cls, train_argnum):
+            # `train` is a Python bool -> static under nn.remat.
+            return (nn.remat(cls, static_argnums=(train_argnum,))
+                    if name in cfg.remat_parts else cls)
+
         if self.use_depthnet:
-            feat, depth, depth_logits = DepthNet(
-                cfg.depth_bins, cfg.camC)(cam_feats, train)
+            feat, depth, depth_logits = part('depthnet', DepthNet, 2)(
+                cfg.depth_bins, cfg.camC, name='DepthNet_0')(cam_feats,
+                                                             train)
         else:
             feat, depth = CamEncode(cfg.depth_bins, cfg.camC)(cam_feats)
             depth_logits = None
@@ -262,5 +275,6 @@ class LiftSplatShoot(nn.Module):
         # Collapse Z into channels: (B, ny, nx, nz * camC).
         b = vox.shape[0]
         bev = jnp.moveaxis(vox, 1, -2).reshape(b, ny, nx, nz * cfg.camC)
-        bev = BevEncoderConvs(cfg.outC)(bev, train)
+        bev = part('bevencode', BevEncoderConvs, 2)(
+            cfg.outC, name='BevEncoderConvs_0')(bev, train)
         return bev, depth, depth_logits

@@ -12,7 +12,7 @@ unread branches (the round-3 DepthNet 7x under-report).
 Usage:
     python -m omnihd_scenes_tpu.tools.profile_components \
         [--batch 4] [--iters 8] [--probe resnet,stem,fpnc,depthnet,\
-splat,bevencode,pillar_encode,radar,decode]
+splat,bevencode,pillar_encode,scatter_floor,radar,decode]
 
 Prints one JSON line per probe: {probe, ms_per_sample, ms_total}.
 Caveat from BENCH.md: isolated components sum above the in-graph whole
@@ -229,6 +229,55 @@ def probe_pillar_encode(b, iters):
     return chained(fn, (pd, md), iters, b)
 
 
+def probe_scatter_floor(b, iters):
+    """Bare scatter/gather traffic of the dense pillar encoder.
+
+    Times ONLY the three irreducible index ops of
+    ``DensePillarEncoder`` (models/pillar_encoders.py) at the exact
+    production shapes and index distribution — the per-pillar stats
+    scatter-add, the means gather back to the points, and the PFN
+    scatter-max onto the canvas — with no PFN matmul/BN/activation.
+    ``pillar_encode`` minus this probe is the FLOP part; if this probe
+    dominates, the encoder sits at the TPU scatter/gather floor and no
+    kernel reformulation of the arithmetic can move it.
+    """
+    import jax
+    import jax.numpy as jnp
+    from omnihd_scenes_tpu.models.detectors import PointPillarsConfig
+
+    pc = PointPillarsConfig()
+    h, w = pc.bev_hw
+    hw = h * w
+    x0, y0 = pc.point_cloud_range[0], pc.point_cloud_range[1]
+    vx, vy = pc.voxel_size[0], pc.voxel_size[1]
+    pts, mask = _radar_inputs(b)
+    n = pts.shape[1]
+    flat = pts.reshape(b * n, -1)
+    ix = np.clip(np.floor((flat[:, 0] - x0) / vx).astype(np.int32),
+                 0, w - 1)
+    iy = np.clip(np.floor((flat[:, 1] - y0) / vy).astype(np.int32),
+                 0, h - 1)
+    bidx = np.repeat(np.arange(b, dtype=np.int32), n)
+    lin = bidx * hw + iy * w + ix          # all points valid here
+    lin_d = jax.device_put(lin)
+    feat = jax.device_put(np.ascontiguousarray(
+        flat[:, :4]).astype(jnp.bfloat16))
+    emb = jax.device_put(
+        np.random.RandomState(1).randn(b * n, 64).astype(jnp.bfloat16))
+
+    def fn(c, li, st, em):
+        st = st + c.astype(st.dtype)
+        em = em + c.astype(em.dtype)
+        sums = jnp.zeros((b * hw, 4), st.dtype).at[li].add(
+            st, mode='drop')
+        pmean = sums[li, 1:]                       # gather back
+        neg = jnp.asarray(-jnp.inf, em.dtype)
+        canvas = jnp.full((b * hw, 64), neg, em.dtype).at[li].max(
+            em, mode='drop')
+        return _live(pmean, canvas)
+    return chained(fn, (lin_d, feat, emb), iters, b)
+
+
 def probe_radar(b, iters):
     import jax
     import jax.numpy as jnp
@@ -291,6 +340,7 @@ PROBES = {
     'splat': probe_splat,
     'bevencode': probe_bevencode,
     'pillar_encode': probe_pillar_encode,
+    'scatter_floor': probe_scatter_floor,
     'radar': probe_radar,
     'decode': probe_decode,
 }

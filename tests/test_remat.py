@@ -23,15 +23,17 @@ from omnihd_scenes_tpu.models.detectors import PointPillarsConfig
 from omnihd_scenes_tpu.models.lss import LSSConfig
 
 
-def _cfg(remat):
+def _cfg(remat, exclude=(), parts=()):
     return BEVFusionConfig(
-        remat=remat, num_views=2, imc=16, lic=24, resnet_depth=18,
+        remat=remat, remat_exclude=exclude,
+        num_views=2, imc=16, lic=24, resnet_depth=18,
         resnet_out_indices=(1, 2, 3),
         lss=LSSConfig(final_dim=(64, 96), downsample=8,
                       camera_depth_range=(1.0, 13.0, 1.0),
                       pc_range=(-16, -16, -3.0, 16, 16, 5.0),
                       grid=2.0, inputC=16, camC=16, outC=16,
-                      splat_mode='sample', splat_impl='einsum'),
+                      splat_mode='sample', splat_impl='einsum',
+                      remat_parts=parts),
         pillars=PointPillarsConfig(
             point_cloud_range=(-16, -16, -3, 16, 16, 5),
             voxel_size=(0.5, 0.5, 8.0), bev_hw=(64, 64),
@@ -52,8 +54,16 @@ def inputs():
 def test_remat_param_tree_forward_and_grads_match(inputs):
     pts, msk, imgs, rots, trans = inputs
     res = {}
-    for remat in (False, True):
-        model = BEVFusion(_cfg(remat))
+    # Third mode: selective remat (radar trunks + LSS whole excluded,
+    # DepthNet alone rematted inside LSS) — the BENCH.md "Selective
+    # remat" training configuration; must be tree/forward/grad-identical
+    # to both full-remat and no-remat.
+    modes = {False: _cfg(False), True: _cfg(True),
+             'selective': _cfg(True,
+                               exclude=('second', 'secondfpn', 'lss'),
+                               parts=('depthnet',))}
+    for remat, cfg in modes.items():
+        model = BEVFusion(cfg)
         v = model.init(jax.random.PRNGKey(0), pts, msk, imgs, rots,
                        trans, train=False)
         fwd = model.apply(v, pts, msk, imgs, rots, trans, train=False)
@@ -69,16 +79,17 @@ def test_remat_param_tree_forward_and_grads_match(inputs):
         grads = jax.jit(jax.grad(loss))(v['params'])
         res[remat] = (v, np.asarray(fwd['cls_score']), grads)
 
-    # Checkpoint compatibility: identical variable trees.
-    assert (jax.tree_util.tree_structure(res[False][0])
-            == jax.tree_util.tree_structure(res[True][0]))
-    for a, b in zip(jax.tree.leaves(res[False][0]),
-                    jax.tree.leaves(res[True][0])):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # Same math.
-    np.testing.assert_allclose(res[False][1], res[True][1],
-                               rtol=1e-5, atol=1e-5)
-    for ga, gb in zip(jax.tree.leaves(res[False][2]),
-                      jax.tree.leaves(res[True][2])):
-        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
-                                   rtol=1e-3, atol=1e-4)
+    for mode in (True, 'selective'):
+        # Checkpoint compatibility: identical variable trees.
+        assert (jax.tree_util.tree_structure(res[False][0])
+                == jax.tree_util.tree_structure(res[mode][0])), mode
+        for a, b in zip(jax.tree.leaves(res[False][0]),
+                        jax.tree.leaves(res[mode][0])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # Same math.
+        np.testing.assert_allclose(res[False][1], res[mode][1],
+                                   rtol=1e-5, atol=1e-5)
+        for ga, gb in zip(jax.tree.leaves(res[False][2]),
+                          jax.tree.leaves(res[mode][2])):
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                       rtol=1e-3, atol=1e-4)
