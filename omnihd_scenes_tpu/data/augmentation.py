@@ -59,7 +59,8 @@ def photometric_distortion(imgs: np.ndarray,
                            saturation_range: Tuple[float, float] = (0.5, 1.5),
                            hue_delta: float = 18.0,
                            mean: Sequence[float] = None,
-                           std: Sequence[float] = None) -> np.ndarray:
+                           std: Sequence[float] = None,
+                           per_view: bool = False) -> np.ndarray:
     """Jitter normalized multi-view images (N, H, W, 3).
 
     Reference-faithful HSV-space pipeline (``transform_3d.py``
@@ -69,11 +70,19 @@ def photometric_distortion(imgs: np.ndarray,
     contrast -> random channel swap.  Our images arrive normalized
     (mean/std), so the jitter denormalizes to the 0-255 pixel space,
     applies the reference ops, and renormalizes.  Deliberate deviation
-    kept from round 2: parameters are drawn ONCE PER SAMPLE and shared
-    by all views (the reference redraws per view, breaking multi-view
-    photometric consistency); hue zero-point differs RGB-vs-BGR, which
-    is immaterial under a symmetric random hue shift.
+    kept from round 2 (default): parameters are drawn ONCE PER SAMPLE
+    and shared by all views, preserving multi-view photometric
+    consistency.  ``per_view=True`` restores the reference's exact
+    per-view redraw (each view gets independent parameter draws, the
+    same rng consumption order per view).  Hue zero-point differs
+    RGB-vs-BGR, which is immaterial under a symmetric random hue shift.
     """
+    if per_view:
+        return np.stack([
+            photometric_distortion(
+                imgs[i:i + 1], rng, brightness_delta, contrast_range,
+                saturation_range, hue_delta, mean, std, per_view=False)[0]
+            for i in range(imgs.shape[0])], axis=0)
     if mean is None or std is None:
         from omnihd_scenes_tpu.data.image_loading import (IMAGENET_MEAN,
                                                           IMAGENET_STD)

@@ -253,8 +253,12 @@ class NewScenesDetDataset:
         aug = self.aug
         geom_dirty = False
         if aug.get('photometric') and 'imgs' in sample:
-            sample['imgs'] = A.photometric_distortion(sample['imgs'],
-                                                      self.rng)
+            # 'photometric': True -> per-sample draws (our default,
+            # multi-view-consistent); 'per_view' -> the reference's
+            # exact per-view redraw (transform_3d.py).
+            sample['imgs'] = A.photometric_distortion(
+                sample['imgs'], self.rng,
+                per_view=aug.get('photometric') == 'per_view')
         if aug.get('crop_resize_flip') and 'imgs' in sample:
             params = A.sample_crop_resize_flip(
                 self.rng, aug['crop_resize_flip'],

@@ -82,6 +82,22 @@ class TestPhotometric:
         # Same jitter across views.
         assert np.allclose(out[0], out[1])
 
+    def test_per_view_redraws_parameters(self):
+        # Reference-exact mode (transform_3d.py redraws per view):
+        # identical input views get independent parameter draws.
+        rng = np.random.RandomState(3)
+        imgs = np.zeros((4, 8, 8, 3), np.float32) + 0.5
+        out = photometric_distortion(imgs, rng, per_view=True)
+        assert out.shape == imgs.shape
+        diffs = [not np.allclose(out[i], out[j])
+                 for i in range(4) for j in range(i + 1, 4)]
+        assert any(diffs)      # some pair diverged (p ~ 1 at 4 views)
+        # Per-view consumes the rng identically to N single-view calls.
+        rng2 = np.random.RandomState(3)
+        ref = np.stack([photometric_distortion(imgs[i:i + 1], rng2)[0]
+                        for i in range(4)])
+        assert np.allclose(out, ref)
+
 
 class TestCropResizeFlip:
     def _setup(self):
