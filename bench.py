@@ -236,7 +236,8 @@ def main_bevformer(batch: int = 1, sca_cap: float = 0.375):
 
 
 def main(int8: bool = False, batch: int = 1, host_nms: bool = False,
-         mtl: bool = False, s2d: bool = False):
+         mtl: bool = False, s2d: bool = False,
+         pillar_impl: str = 'dense'):
     import jax
     import jax.numpy as jnp
 
@@ -255,7 +256,10 @@ def main(int8: bool = False, batch: int = 1, host_nms: bool = False,
     # training path; parity tested in tests/test_dense_pillars.py,
     # measured 2.7 vs 4.5 ms/sample on v5e — BENCH.md round 3).
     cfg = BEVFusionConfig(
-        pillars=PointPillarsConfig(pillar_impl='dense'),
+        # --pillar-fold additionally folds the frozen PFN BN+ReLU
+        # through the scatter-max and drops the per-point means
+        # gather-back (models/pillar_encoders.py fold_bn docs).
+        pillars=PointPillarsConfig(pillar_impl=pillar_impl),
         # --s2d: space-to-depth packed serving input contract — the
         # host pipeline ships (B,6,272,480,12) images and the backbone
         # runs the exact folded 4x4/s1 stem (models/resnet.py:_S2DStem;
@@ -522,4 +526,6 @@ if __name__ == '__main__':
         main(int8='--int8' in sys.argv, batch=b,
              host_nms='--host-nms' in sys.argv,
              mtl='--mtl' in sys.argv,
-             s2d='--s2d' in sys.argv)
+             s2d='--s2d' in sys.argv,
+             pillar_impl=('dense_fold' if '--pillar-fold' in sys.argv
+                          else 'dense'))

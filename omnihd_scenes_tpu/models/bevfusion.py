@@ -135,7 +135,7 @@ class BEVFusion(nn.Module):
 
         if cfg.radar_stream and points is not None:
             pc = cfg.pillars
-            if pc.pillar_impl == 'dense':
+            if pc.pillar_impl in ('dense', 'dense_fold'):
                 # Sort-free scatter path; same param tree as the
                 # PillarFeatureNet branch (name pinned), see
                 # models/pillar_encoders.py:DensePillarEncoder.
@@ -144,6 +144,7 @@ class BEVFusion(nn.Module):
                     point_cloud_range=pc.point_cloud_range,
                     grid_hw=pc.bev_hw,
                     with_velocity_snr_center=pc.with_velocity_snr_center,
+                    fold_bn=pc.pillar_impl == 'dense_fold',
                     name='PillarFeatureNet_0')(points, points_mask, train)
             else:
                 vox = jax.vmap(lambda p, m: voxelize(

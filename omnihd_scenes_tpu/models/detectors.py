@@ -87,12 +87,13 @@ class PointPillars(nn.Module):
     def __call__(self, points: jnp.ndarray, points_mask: jnp.ndarray,
                  train: bool = True):
         cfg = self.cfg
-        if cfg.pillar_impl == 'dense':
+        if cfg.pillar_impl in ('dense', 'dense_fold'):
             canvas = DensePillarEncoder(
                 feat_channels=cfg.pfn_channels, voxel_size=cfg.voxel_size,
                 point_cloud_range=cfg.point_cloud_range, grid_hw=cfg.bev_hw,
                 with_velocity_snr_center=cfg.with_velocity_snr_center,
                 axis_name=cfg.axis_name,
+                fold_bn=cfg.pillar_impl == 'dense_fold',
                 name='PillarFeatureNet_0')(points, points_mask, train)
         else:
             vox = jax.vmap(lambda p, m: voxelize(

@@ -123,6 +123,75 @@ class PillarFeatureNet(nn.Module):
         return x  # (V, C)
 
 
+class _DenseKernelVar(nn.Module):
+    """Declares exactly ``nn.Dense(use_bias=False)``'s parameter tree
+    (``kernel``, lecun-normal, f32) and returns the kernel itself, so
+    the folded PFN can use the weight matrix directly while staying
+    checkpoint-interchangeable with :class:`PFNLayer`."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, d_in: int):
+        return self.param('kernel', nn.initializers.lecun_normal(),
+                          (d_in, self.features))
+
+
+class _BNVars(nn.Module):
+    """Declares exactly ``nn.BatchNorm``'s variable tree (params
+    scale/bias, batch_stats mean/var) and returns the raw tensors."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param('scale', nn.initializers.ones, (self.features,))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        mean = self.variable('batch_stats', 'mean',
+                             lambda: jnp.zeros((self.features,)))
+        var = self.variable('batch_stats', 'var',
+                            lambda: jnp.ones((self.features,)))
+        return scale, bias, mean.value, var.value
+
+
+class _FoldedPFN(nn.Module):
+    """Single PFN layer with frozen BN+ReLU folded through the pillar
+    max-pool.  Parameter/stat tree is identical to :class:`PFNLayer`
+    (``Dense_0/kernel``, ``BatchNorm_0/{scale,bias}`` + batch_stats
+    ``{mean,var}``) — checkpoints are interchangeable.
+
+    Identity used (per channel c, per pillar):
+        max_i relu(g_c (y_i,c − m_c) + b_c)
+          = relu(|g_c| M_c − g_c m_c + b_c),   M_c = max_i sign(g_c) y_i,c
+    valid because relu∘affine is monotone with direction sign(g_c) and
+    max over points commutes with per-channel monotone maps; g_c = 0
+    degenerates to the constant relu(b_c), which the identity also
+    yields (|g|M = g m = 0).  Exact up to float reassociation
+    (tests/test_dense_pillars.py pins the tolerance).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, f0, means, blocks, valid, lin, counts, bhw):
+        from jax import lax
+
+        w = _DenseKernelVar(self.features, name='Dense_0')(f0.shape[-1])
+        scale, bias, mu, var = _BNVars(self.features, name='BatchNorm_0')()
+        y = jnp.dot(f0, w)                               # (B*N, C)
+        g = scale * lax.rsqrt(var + BN_EPS)              # frozen BN affine
+        b_fold = bias - mu * g
+        s = jnp.where(g >= 0, 1.0, -1.0).astype(y.dtype)
+        neg = jnp.asarray(-jnp.inf, y.dtype)
+        pooled = jnp.full((bhw, self.features), neg, y.dtype).at[lin].max(
+            jnp.where(valid[:, None], y * s, neg), mode='drop')
+        m = jnp.zeros((), y.dtype)
+        for r, c, wd in blocks:                          # pillar-mean term
+            m = m + jnp.dot(means[:, c:c + wd], w[r:r + wd])
+        out = nn.relu(jnp.abs(g) * pooled - g * m + b_fold)
+        return jnp.where(counts > 0, out, 0.0)
+
+
 class _PointDenseBNReLU(nn.Module):
     """Per-point Linear(no bias) -> BN -> ReLU — the PFNLayer compute
     without the pooling, with identical submodule names (``Dense_0``,
@@ -181,6 +250,16 @@ class DensePillarEncoder(nn.Module):
     with_voxel_center: bool = True
     with_velocity_snr_center: bool = False
     axis_name: Optional[str] = None
+    # fold_bn=True (inference, single PFN layer only) additionally folds
+    # the frozen BN+ReLU THROUGH the scatter-max pool, removing the
+    # per-point means gather-back and the per-point BN/ReLU entirely:
+    #   max_i relu(g*(y_i - m) + b) == relu(|g|*M - g*m + b),
+    #   M = scatter_max(sign(g) * y_i)
+    # (relu∘affine is per-channel monotone with direction sign(g), and
+    # max commutes with monotone maps; m = the pillar-mean term of the
+    # PFN linear layer, computable per PILLAR from the scatter-add sums
+    # instead of per point).  Exact up to float reassociation.
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, points, points_mask, train: bool = False):
@@ -222,6 +301,13 @@ class DensePillarEncoder(nn.Module):
             stats, mode='drop')
         counts = sums[:, :1]
         means = sums[:, 1:] / jnp.clip(counts, 1.0, None)
+
+        if self.fold_bn and not train and len(self.feat_channels) == 1:
+            canvas = self._folded_single_layer(
+                pts, ix, iy, valid, lin, means, counts, b, hw, dt)
+            canvas = canvas.reshape(b, h, w, canvas.shape[-1])
+            return canvas[0] if squeeze else canvas
+
         pmean = means[lin_g]                            # (B*N, 3 [+4])
 
         feats = [pts]
@@ -250,3 +336,39 @@ class DensePillarEncoder(nn.Module):
                 x = jnp.where(valid[:, None], x, 0.0)
         canvas = canvas.reshape(b, h, w, canvas.shape[-1])
         return canvas[0] if squeeze else canvas
+
+    def _folded_single_layer(self, pts, ix, iy, valid, lin, means, counts,
+                             b, hw, dt):
+        """BN+ReLU folded through the max-pool (``fold_bn`` docs above).
+
+        Per point only the linear projection of the mean-FREE feature
+        vector ``f0`` is computed (mean-offset blocks replaced by their
+        raw minuends — the linear layer splits as W@f = W@f0 − W_sub@mean);
+        the pillar-mean term, the frozen BN affine and the ReLU all move
+        to per-PILLAR arithmetic on the canvas.  No 160k-row gather-back,
+        and the stats scatter-add and the feature scatter-max become
+        independent (XLA overlaps them).
+        """
+        d = pts.shape[-1]
+        x0, y0 = self.point_cloud_range[0], self.point_cloud_range[1]
+        vx, vy = self.voxel_size[0], self.voxel_size[1]
+
+        f0s = [pts]
+        blocks = []          # (W row start, means col start, width)
+        row = d
+        if self.with_cluster_center:
+            f0s.append(pts[:, :3])
+            blocks.append((row, 0, 3))
+            row += 3
+        if self.with_voxel_center:
+            cx = ix.astype(dt) * vx + (vx / 2 + x0)
+            cy = iy.astype(dt) * vy + (vy / 2 + y0)
+            f0s.append(jnp.stack([pts[:, 0] - cx, pts[:, 1] - cy], axis=-1))
+            row += 2
+        if self.with_velocity_snr_center:
+            f0s.append(pts[:, 3:7])
+            blocks.append((row, 3, 4))
+            row += 4
+        f0 = jnp.where(valid[:, None], jnp.concatenate(f0s, axis=-1), 0.0)
+        return _FoldedPFN(self.feat_channels[0], name='PFNLayer_0')(
+            f0, means, tuple(blocks), valid, lin, counts, b * hw)

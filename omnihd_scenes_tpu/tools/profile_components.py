@@ -12,7 +12,8 @@ unread branches (the round-3 DepthNet 7x under-report).
 Usage:
     python -m omnihd_scenes_tpu.tools.profile_components \
         [--batch 4] [--iters 8] [--probe resnet,stem,fpnc,depthnet,\
-splat,bevencode,pillar_encode,scatter_floor,radar,decode]
+splat,bevencode,pillar_encode,pillar_encode_fold,scatter_floor,radar,\
+decode]
 
 Prints one JSON line per probe: {probe, ms_per_sample, ms_total}.
 Caveat from BENCH.md: isolated components sum above the in-graph whole
@@ -205,7 +206,7 @@ def _radar_inputs(b):
     return pts, np.ones((b, 40000), bool)
 
 
-def probe_pillar_encode(b, iters):
+def probe_pillar_encode(b, iters, fold_bn=False):
     import jax
     import jax.numpy as jnp
     from omnihd_scenes_tpu.models.detectors import PointPillarsConfig
@@ -214,7 +215,8 @@ def probe_pillar_encode(b, iters):
     pc = PointPillarsConfig()
     model = DensePillarEncoder(
         feat_channels=pc.pfn_channels, voxel_size=pc.voxel_size,
-        point_cloud_range=pc.point_cloud_range, grid_hw=pc.bev_hw)
+        point_cloud_range=pc.point_cloud_range, grid_hw=pc.bev_hw,
+        fold_bn=fold_bn)
     pts, mask = _radar_inputs(b)
     variables = model.init(jax.random.PRNGKey(0), pts[:1, :64],
                            mask[:1, :64], False)
@@ -340,6 +342,8 @@ PROBES = {
     'splat': probe_splat,
     'bevencode': probe_bevencode,
     'pillar_encode': probe_pillar_encode,
+    'pillar_encode_fold': lambda b, i: probe_pillar_encode(b, i,
+                                                           fold_bn=True),
     'scatter_floor': probe_scatter_floor,
     'radar': probe_radar,
     'decode': probe_decode,

@@ -96,6 +96,69 @@ def test_dense_batched_equals_per_sample():
                                    np.asarray(single), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize('radar', [False, True])
+def test_fold_bn_matches_dense(radar):
+    """fold_bn=True (BN+ReLU folded through the scatter-max) must agree
+    with the plain dense path — including channels with NEGATIVE BN
+    scale, where max_i g*y_i = g*min_i y_i and the fold must flip the
+    extremum via the sign trick."""
+    rng = np.random.RandomState(5)
+    pts, mask = _points(rng, 512, 400, radar)
+    enc = _dense((64,), radar)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(pts),
+                         jnp.asarray(mask), train=False)
+
+    # Non-trivial frozen BN: random running stats, mixed-sign scales.
+    v = jax.tree_util.tree_map(np.asarray, variables)
+    bn_p = v['params']['PFNLayer_0']['BatchNorm_0']
+    bn_s = v['batch_stats']['PFNLayer_0']['BatchNorm_0']
+    bn_p['scale'] = rng.uniform(-1.5, 1.5, 64).astype(np.float32)
+    bn_p['scale'][:4] = 0.0                        # g == 0 degenerate
+    bn_p['bias'] = rng.uniform(-1, 1, 64).astype(np.float32)
+    bn_s['mean'] = rng.uniform(-2, 2, 64).astype(np.float32)
+    bn_s['var'] = rng.uniform(0.1, 3.0, 64).astype(np.float32)
+
+    plain = enc.apply(v, jnp.asarray(pts), jnp.asarray(mask), train=False)
+    folded = DensePillarEncoder(
+        feat_channels=(64,), voxel_size=VOX, point_cloud_range=PC_RANGE,
+        grid_hw=GRID, with_velocity_snr_center=radar, fold_bn=True).apply(
+            v, jnp.asarray(pts), jnp.asarray(mask), train=False)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(plain),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fold_bn_flagship_knob_and_sorted_parity():
+    """pillar_impl='dense_fold' end-to-end on BEVFusion equals the
+    sorted reference path (fresh BN stats: identity affine)."""
+    from omnihd_scenes_tpu.models.bevfusion import (BEVFusion,
+                                                    BEVFusionConfig)
+    from omnihd_scenes_tpu.models.detectors import PointPillarsConfig
+
+    def cfg(impl):
+        return BEVFusionConfig(
+            camera_stream=False, lc_fusion=False, se=False,
+            pillars=PointPillarsConfig(
+                point_cloud_range=PC_RANGE, voxel_size=VOX, bev_hw=GRID,
+                max_voxels=512, max_points_per_voxel=32,
+                second_layer_nums=(1,), second_strides=(2,),
+                second_channels=(32,), fpn_strides=(1,),
+                fpn_channels=(32,), pillar_impl=impl))
+
+    rng = np.random.RandomState(6)
+    pts, mask = _points(rng, 512, 400, radar=True)
+    pts_b, mask_b = jnp.asarray(pts[None]), jnp.asarray(mask[None])
+
+    m_sorted = BEVFusion(cfg('sorted'))
+    variables = m_sorted.init(jax.random.PRNGKey(0), pts_b, mask_b,
+                              train=False)
+    out_s = m_sorted.apply(variables, pts_b, mask_b, train=False)
+    out_f = BEVFusion(cfg('dense_fold')).apply(variables, pts_b, mask_b,
+                                               train=False)
+    np.testing.assert_allclose(np.asarray(out_f['cls_score']),
+                               np.asarray(out_s['cls_score']),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_params_interchangeable_with_pillar_feature_net():
     """A PillarFeatureNet param tree loads straight into the dense
     encoder (checkpoint compatibility both ways)."""
