@@ -33,40 +33,30 @@ NOMINAL_A100_SAMPLES_PER_SEC = 15.0
 N_ITERS = 16
 
 
-def main_train(batch: int = 1, remat: bool = None,
-               remat_exclude: tuple = (), remat_parts: tuple = ()):
-    """--train [--batch N] [--remat|--no-remat]: BEVFusion train-step
-    throughput (fwd+bwd+optimizer), bf16-compute / f32-state policy,
-    N steps chained inside one jit (state carried through the loop is a
-    real data dependency).
-
-    remat defaults to on for batch > 1: the un-rematted b=4 step needs
-    22.7 GB of trunk activations vs 15.75 GB v5e HBM; with
-    ``BEVFusionConfig(remat=True)`` the trunks recompute in the
-    backward pass instead (BENCH.md round 3)."""
+def _train_bench_arm(batch: int, remat: bool,
+                     remat_exclude: tuple = (), remat_parts: tuple = ()):
+    """Build one train-bench arm: returns ``run()`` that executes one
+    timed round (N_ITERS chained steps) and its samples count.  The
+    first call compiles; time only subsequent calls."""
     import jax
-    import jax.numpy as jnp
     import optax
 
     from omnihd_scenes_tpu.models.bevfusion import (BEVFusion,
                                                     BEVFusionConfig)
+    from omnihd_scenes_tpu.models.lss import LSSConfig
     from omnihd_scenes_tpu.train.amp import bf16_policy
     from omnihd_scenes_tpu.train.builder import (anchors_for,
                                                  make_loss_fn_generic)
+    from omnihd_scenes_tpu.utils.rig import ring_rig_img2lidar
 
-    if remat is None:
-        remat = batch > 1
-    from omnihd_scenes_tpu.models.lss import LSSConfig
     cfg = BEVFusionConfig(remat=remat, remat_exclude=tuple(remat_exclude),
                           lss=LSSConfig(remat_parts=tuple(remat_parts)))
     model = BEVFusion(cfg)
-
-    from omnihd_scenes_tpu.utils.rig import ring_rig_img2lidar
     _rig_rt = ring_rig_img2lidar(img_hw=(544, 960))
 
     b, n_pts, max_gt = batch, 40000, 64
     rng = np.random.RandomState(0)
-    batch = {
+    bt = {
         'points': rng.uniform(-50, 50, (b, n_pts, 8)).astype(np.float32),
         'points_mask': np.ones((b, n_pts), bool),
         'imgs': rng.randn(b, 6, 544, 960, 3).astype(np.float32),
@@ -77,11 +67,11 @@ def main_train(batch: int = 1, remat: bool = None,
         'gt_labels': rng.randint(0, 4, (b, max_gt)).astype(np.int32),
         'gt_mask': np.ones((b, max_gt), bool),
     }
-    batch['gt_boxes'][..., 3:6] = rng.uniform(1, 4, (b, max_gt, 3))
+    bt['gt_boxes'][..., 3:6] = rng.uniform(1, 4, (b, max_gt, 3))
 
     variables = model.init(
-        jax.random.PRNGKey(0), batch['points'], batch['points_mask'],
-        batch['imgs'], batch['img2lidar_rots'], batch['img2lidar_trans'],
+        jax.random.PRNGKey(0), bt['points'], bt['points_mask'],
+        bt['imgs'], bt['img2lidar_rots'], bt['img2lidar_trans'],
         train=False)
     loss_fn = bf16_policy(
         make_loss_fn_generic(model, 'bevfusion', anchors_for(model,
@@ -90,7 +80,7 @@ def main_train(batch: int = 1, remat: bool = None,
     params = variables['params']
     opt_state = tx.init(params)
     stats = variables.get('batch_stats', {})
-    dev_batch = jax.device_put(batch)
+    dev_batch = jax.device_put(bt)
 
     @jax.jit
     def bench_loop(p, o, s, bt):
@@ -108,19 +98,104 @@ def main_train(batch: int = 1, remat: bool = None,
         p_f, _, _ = jax.lax.fori_loop(0, N_ITERS, body, (p, o, s))
         return jax.tree.leaves(p_f)[0].ravel()[0]
 
-    float(bench_loop(params, opt_state, stats, dev_batch))   # compile
+    def run():
+        return float(bench_loop(params, opt_state, stats, dev_batch))
+
+    return run, N_ITERS * b
+
+
+def main_train(batch: int = 1, remat: bool = None,
+               remat_exclude: tuple = (), remat_parts: tuple = ()):
+    """--train [--batch N] [--remat|--no-remat]: BEVFusion train-step
+    throughput (fwd+bwd+optimizer), bf16-compute / f32-state policy,
+    N steps chained inside one jit (state carried through the loop is a
+    real data dependency).
+
+    remat defaults to on for batch > 1: the un-rematted b=4 step needs
+    22.7 GB of trunk activations vs 15.75 GB v5e HBM; with
+    ``BEVFusionConfig(remat=True)`` the trunks recompute in the
+    backward pass instead (BENCH.md round 3)."""
+    if remat is None:
+        remat = batch > 1
+    run, samples = _train_bench_arm(batch, remat, remat_exclude,
+                                    remat_parts)
+    run()                                        # compile
     t0 = time.perf_counter()
-    float(bench_loop(params, opt_state, stats, dev_batch))
+    run()
     dt = time.perf_counter() - t0
     print(json.dumps({
         'metric': 'bevfusion_train_step_samples_per_sec'
-                  + (f'_b{b}' if b != 1 else ''),
-        'value': round(N_ITERS * b / dt, 2),
+                  + (f'_b{batch}' if batch != 1 else ''),
+        'value': round(samples / dt, 2),
         'unit': 'samples/sec/chip',
-        'batch': b,
+        'batch': batch,
         'remat': remat,
         'remat_exclude': list(remat_exclude),
         'remat_parts': list(remat_parts),
+        'vs_baseline': None,
+    }))
+
+
+def _parse_ab_spec(spec: str):
+    """'b4,remat,excl=second+lss,parts=depthnet' -> arm kwargs."""
+    kw = {'batch': 1, 'remat': None, 'remat_exclude': (),
+          'remat_parts': ()}
+    for tok in filter(None, spec.split(',')):
+        if tok.startswith('b') and tok[1:].isdigit():
+            kw['batch'] = int(tok[1:])
+        elif tok == 'remat':
+            kw['remat'] = True
+        elif tok == 'no-remat':
+            kw['remat'] = False
+        elif tok.startswith('excl='):
+            kw['remat_exclude'] = tuple(tok[5:].split('+'))
+        elif tok.startswith('parts='):
+            kw['remat_parts'] = tuple(tok[6:].split('+'))
+        else:
+            raise SystemExit(f'bad --ab token {tok!r} in {spec!r}')
+    if kw['remat'] is None:
+        kw['remat'] = kw['batch'] > 1
+    return kw
+
+
+def main_train_ab(spec: str, repeats: int = 5):
+    """--train --ab 'A|B' [--repeats N]: interleaved paired train A/B.
+
+    Round-4 found ~13% session-to-session drift on this relay box
+    (BENCH.md "Selective remat": same config 3.37 vs 2.94/s across
+    sessions), making cross-session train A/Bs unreliable.  This runs
+    the two arms ALTERNATELY in one session (A B A B ...), N repeats
+    each, and reports the paired per-round deltas — drift that moves
+    both arms together cancels in the pairing.
+
+    Spec tokens: bN (batch), remat / no-remat,
+    excl=trunk+trunk (remat_exclude), parts=p+p (LSS remat_parts).
+    Example:
+      --train --ab 'b4,remat|b4,remat,excl=second+secondfpn' --repeats 5
+    """
+    sa, sb = spec.split('|')
+    ka, kb = _parse_ab_spec(sa), _parse_ab_spec(sb)
+    run_a, samples_a = _train_bench_arm(**ka)
+    run_b, samples_b = _train_bench_arm(**kb)
+    run_a(); run_b()                             # compile both arms
+    rates_a, rates_b = [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter(); run_a()
+        rates_a.append(samples_a / (time.perf_counter() - t0))
+        t0 = time.perf_counter(); run_b()
+        rates_b.append(samples_b / (time.perf_counter() - t0))
+    ra, rb = np.asarray(rates_a), np.asarray(rates_b)
+    ratios = ra / rb
+    print(json.dumps({
+        'metric': 'bevfusion_train_ab_paired',
+        'value': round(float(np.mean(ratios)), 4),
+        'unit': 'rate_ratio_a_over_b',
+        'arm_a': sa, 'arm_b': sb, 'repeats': repeats,
+        'a_samples_per_sec': [round(float(x), 3) for x in ra],
+        'b_samples_per_sec': [round(float(x), 3) for x in rb],
+        'paired_ratios': [round(float(x), 4) for x in ratios],
+        'ratio_mean': round(float(np.mean(ratios)), 4),
+        'ratio_std': round(float(np.std(ratios)), 4),
         'vs_baseline': None,
     }))
 
@@ -481,11 +556,20 @@ def main(int8: bool = False, batch: int = 1, host_nms: bool = False,
     }))
 
 
+def _argv_value(flag: str):
+    """Value following `flag` in sys.argv, with a usage error instead
+    of an IndexError when the flag is passed last."""
+    i = sys.argv.index(flag)
+    if i + 1 >= len(sys.argv):
+        raise SystemExit(f'usage: {flag} <value>')
+    return sys.argv[i + 1]
+
+
 if __name__ == '__main__':
     if '--train' in sys.argv:
         b = 1
         if '--batch' in sys.argv:
-            b = int(sys.argv[sys.argv.index('--batch') + 1])
+            b = int(_argv_value('--batch'))
         remat = None
         if '--remat' in sys.argv:
             remat = True
@@ -496,27 +580,25 @@ if __name__ == '__main__':
         # --remat-parts depthnet (remat only DepthNet inside LSS).
         excl = ()
         if '--remat-exclude' in sys.argv:
-            excl = tuple(sys.argv[sys.argv.index('--remat-exclude')
-                                  + 1].split(','))
+            excl = tuple(_argv_value('--remat-exclude').split(','))
         parts = ()
         if '--remat-parts' in sys.argv:
-            parts = tuple(sys.argv[sys.argv.index('--remat-parts')
-                                   + 1].split(','))
+            parts = tuple(_argv_value('--remat-parts').split(','))
         main_train(batch=b, remat=remat, remat_exclude=excl,
                    remat_parts=parts)
     elif '--bevformer' in sys.argv:
         b = 1                  # latency mode; --batch N = scene-parallel
         if '--batch' in sys.argv:
-            b = int(sys.argv[sys.argv.index('--batch') + 1])
+            b = int(_argv_value('--batch'))
         cap = 0.375            # --sca-cap 1.0 = masked-dense control
         if '--sca-cap' in sys.argv:
-            cap = float(sys.argv[sys.argv.index('--sca-cap') + 1])
+            cap = float(_argv_value('--sca-cap'))
         main_bevformer(batch=b, sca_cap=cap)
     else:
         b = 4                  # serving batch (b=8 exceeds HBM;
         #                          b=1 latency mode via --batch 1)
         if '--batch' in sys.argv:
-            b = int(sys.argv[sys.argv.index('--batch') + 1])
+            b = int(_argv_value('--batch'))
         # --host-nms: measure the pipelined host-NMS decode instead of
         # the in-graph default.  MEASURED NET LOSS on this 1-core relay
         # box (16.1 vs 18.25/s, BENCH.md round 3): the C++ suppression

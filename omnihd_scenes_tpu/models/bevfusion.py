@@ -99,8 +99,22 @@ class BEVFusionConfig:
     # the exact folded stem (models/resnet.py:_S2DStem).  Param trees
     # and checkpoints are unchanged either way.
     stem_s2d: bool = False
+    # Run the built-in Anchor3DHead on the fused BEV.  BEVFusionMTL
+    # sets this False when its task-trunk modes own the detection head
+    # (reference MultiTaskHead v1, ``mtl_occ_det_head.py:74-90``).
+    with_head: bool = True
     lss: LSSConfig = LSSConfig()
     pillars: PointPillarsConfig = PointPillarsConfig()
+
+    _TRUNKS = ('second', 'secondfpn', 'resnet', 'fpnc', 'lss')
+
+    def __post_init__(self):
+        # remat is numerically invisible: an unknown name would silently
+        # no-op and the wrong configuration could be benchmarked.
+        bad = set(self.remat_exclude) - set(self._TRUNKS)
+        if bad:
+            raise ValueError(
+                f'remat_exclude {sorted(bad)} not in {self._TRUNKS}')
 
     @property
     def head_channels(self) -> int:
@@ -204,9 +218,11 @@ class BEVFusion(nn.Module):
         else:
             fused = cam_bev
 
-        head = Anchor3DHead(num_classes=cfg.pillars.num_classes,
-                            num_anchors=cfg.pillars.num_anchors)
-        cls_score, bbox_pred, dir_pred = head(fused)
+        cls_score = bbox_pred = dir_pred = None
+        if cfg.with_head:
+            head = Anchor3DHead(num_classes=cfg.pillars.num_classes,
+                                num_anchors=cfg.pillars.num_anchors)
+            cls_score, bbox_pred, dir_pred = head(fused)
         return {'cls_score': cls_score, 'bbox_pred': bbox_pred,
                 'dir_pred': dir_pred, 'bev': fused,
                 'depth': depth, 'depth_logits': depth_logits}

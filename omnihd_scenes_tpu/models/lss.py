@@ -73,6 +73,16 @@ class LSSConfig:
     # Param names are pinned, so checkpoints are unchanged either way.
     remat_parts: Tuple[str, ...] = ()
 
+    _PARTS = ('depthnet', 'bevencode')
+
+    def __post_init__(self):
+        # remat is numerically invisible: an unknown part name would
+        # silently no-op (see BEVFusionConfig.remat_exclude).
+        bad = set(self.remat_parts) - set(self._PARTS)
+        if bad:
+            raise ValueError(
+                f'remat_parts {sorted(bad)} not in {self._PARTS}')
+
     @property
     def feat_hw(self) -> Tuple[int, int]:
         return (self.final_dim[0] // self.downsample,

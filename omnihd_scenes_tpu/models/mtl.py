@@ -14,6 +14,7 @@ Parity targets:
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -86,7 +87,35 @@ class MTLConfig:
     task_weights: Tuple[float, float] = (1.0, 1.0)   # (3dod, occ)
     enable_det: bool = True
     enable_occ: bool = True
-    shared_trunk: bool = False
+    # Task-trunk structure (reference has two head generations):
+    #   'none'     -- MultiTaskHeadv2, the structure the shipped OCC
+    #                 baseline uses (``bevfusion_occ.py:128``): per-task
+    #                 BevFeatureSlicer crop -> task decoder directly,
+    #                 NO BevEncode trunk (``mtl_occ_det_headv2.py:
+    #                 165-183``; v2's __init__ builds no
+    #                 taskfeat_encoders).
+    #   'per_task' -- MultiTaskHead v1 default: one BevEncode trunk per
+    #                 enabled task between crop and decoder
+    #                 (``mtl_occ_det_head.py:74-90,199-219``).
+    #   'shared'   -- v1 shared_feature=True: a single shared BevEncode
+    #                 on the full BEV, then per-task crops
+    #                 (``mtl_occ_det_head.py:61-73,180-197``).  v2's
+    #                 shared path dereferences a ``taskfeat_encoders``
+    #                 dict its __init__ never creates (it would crash);
+    #                 the semantics here follow v1.
+    trunk_mode: str = 'none'
+    # BevFeatureSlicer grids ((x0,x1,dx),(y0,y1,dy)) per ``map_head.py:
+    # 37-78``.  None (or equal grids) = identity crop — the shipped OCC
+    # config sets grid_conf == det_grid_conf == occ_grid_conf
+    # (``bevfusion_occ.py:9-21``), so identity is the parity default.
+    grid_conf: Optional[Tuple] = None
+    det_grid_conf: Optional[Tuple] = None
+    occ_grid_conf: Optional[Tuple] = None
+
+    def __post_init__(self):
+        if self.trunk_mode not in ('none', 'per_task', 'shared'):
+            raise ValueError(f"trunk_mode {self.trunk_mode!r} not in "
+                             "('none', 'per_task', 'shared')")
 
 
 class BEVFusionMTL(nn.Module):
@@ -98,20 +127,53 @@ class BEVFusionMTL(nn.Module):
     def __call__(self, points=None, points_mask=None, imgs=None,
                  rots=None, trans=None, train: bool = True):
         cfg = self.cfg
-        trunk = BEVFusion(cfg.fusion, name='fusion')
+        fcfg = cfg.fusion
+        own_det_head = cfg.enable_det and cfg.trunk_mode != 'none'
+        if own_det_head:
+            # v1 modes own the detection head (after the det trunk);
+            # drop the fusion trunk's built-in one.
+            fcfg = dataclasses.replace(fcfg, with_head=False)
+        trunk = BEVFusion(fcfg, name='fusion')
         out = trunk(points, points_mask, imgs, rots, trans, train=train)
         bev = out['bev']                       # (B, Dy, Dx, C)
 
+        def crop(x, dst_grid):
+            if (cfg.grid_conf is None or dst_grid is None
+                    or cfg.grid_conf == dst_grid):
+                return x
+            return jax.vmap(lambda b: bev_feature_slice(
+                b, cfg.grid_conf, dst_grid))(x)
+
         results = {'depth': out['depth'], 'depth_logits': out['depth_logits'],
                    'bev': bev}
+        if cfg.trunk_mode == 'shared':
+            # trunk first, crops after (v1 forward_with_shared_features).
+            bev = BevEncodeTrunk(256, name='shared_trunk')(bev, train)
+
         if cfg.enable_det:
-            # The fusion trunk's Anchor3DHead outputs serve the 3dod task.
-            results.update(cls_score=out['cls_score'],
-                           bbox_pred=out['bbox_pred'],
-                           dir_pred=out['dir_pred'])
+            if cfg.trunk_mode == 'none':
+                # v2: the fusion trunk's Anchor3DHead on the (identity-
+                # cropped) fused BEV serves the 3dod task.
+                results.update(cls_score=out['cls_score'],
+                               bbox_pred=out['bbox_pred'],
+                               dir_pred=out['dir_pred'])
+            else:
+                det_feat = crop(bev, cfg.det_grid_conf)
+                if cfg.trunk_mode == 'per_task':
+                    det_feat = BevEncodeTrunk(256, name='det_trunk')(
+                        det_feat, train)
+                head = Anchor3DHead(
+                    num_classes=cfg.fusion.pillars.num_classes,
+                    num_anchors=cfg.fusion.pillars.num_anchors,
+                    name='det_head')
+                cls_score, bbox_pred, dir_pred = head(det_feat)
+                results.update(cls_score=cls_score, bbox_pred=bbox_pred,
+                               dir_pred=dir_pred)
         if cfg.enable_occ:
-            occ_bev = BevEncodeTrunk(256, name='occ_trunk')(bev, train) \
-                if cfg.shared_trunk else bev
+            occ_bev = crop(bev, cfg.occ_grid_conf)
+            if cfg.trunk_mode == 'per_task':
+                occ_bev = BevEncodeTrunk(256, name='occ_trunk')(
+                    occ_bev, train)
             occ = BEVOCCHead2D(out_dim=256, dz=cfg.occ_dz,
                                num_classes=cfg.occ_classes,
                                name='occ_head')(occ_bev)

@@ -77,6 +77,28 @@ class _S2DStem(nn.Module):
         kernel = self.param(
             'kernel', nn.initializers.lecun_normal(),
             (7, 7, c, self.features), jnp.float32)
+        # Keep the 'quant' variable tree identical to the QConv stem:
+        # space_to_depth only rearranges pixels, so max|x| (and hence
+        # act_amax) is bit-equal to what the standard stem would record.
+        # Without this, calibrating with stem_s2d=True and serving the
+        # standard stem in int8 mode would fail on the missing amax.
+        # The conv itself always runs in float here (the stem is
+        # excluded from the int8 tier in s2d mode — ~2% of FLOPs).
+        from omnihd_scenes_tpu.models.quant import get_mode
+        mode = get_mode()
+        if mode in ('calib', 'qat'):
+            amax = self.variable('quant', 'act_amax',
+                                 lambda: jnp.zeros((), jnp.float32))
+            batch_amax = jax.lax.stop_gradient(
+                jnp.max(jnp.abs(x)).astype(jnp.float32))
+            if not self.is_initializing():
+                if mode == 'calib':
+                    amax.value = jnp.maximum(amax.value, batch_amax)
+                else:
+                    amax.value = jnp.where(
+                        amax.value > 0,
+                        0.99 * amax.value + 0.01 * batch_amax,
+                        batch_amax)
         w8 = jnp.pad(kernel.astype(x.dtype),
                      ((1, 0), (1, 0), (0, 0), (0, 0)))
         w4 = w8.reshape(4, 2, 4, 2, c, self.features)

@@ -276,6 +276,10 @@ def probe_scatter_floor(b, iters):
         neg = jnp.asarray(-jnp.inf, em.dtype)
         canvas = jnp.full((b * hw, 64), neg, em.dtype).at[li].max(
             em, mode='drop')
+        # Mask the untouched -inf rows so the anti-DCE carry stays
+        # finite (a -inf carry would degenerate the 'perturb inputs by
+        # the carry' contract to NaN arithmetic after one iteration).
+        canvas = jnp.where(jnp.isfinite(canvas), canvas, 0.0)
         return _live(pmean, canvas)
     return chained(fn, (lin_d, feat, emb), iters, b)
 

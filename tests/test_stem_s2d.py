@@ -112,3 +112,44 @@ def test_bevfusion_stem_s2d_wiring():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
         want, got)
+
+
+def test_stem_s2d_calib_quant_tree_interchangeable(img):
+    """Calibrating with stem_s2d=True must produce the SAME 'quant'
+    variable tree as the standard stem (ADVICE r4): space_to_depth only
+    rearranges pixels, so the stem act_amax is bit-equal, and a calib
+    checkpoint taken in either mode deploys in the other."""
+    from omnihd_scenes_tpu.models import quant
+
+    ref = ResNet(depth=18, out_indices=(0,), frozen_bn=True)
+    s2d = ResNet(depth=18, out_indices=(0,), frozen_bn=True,
+                 stem_s2d=True)
+    x = jnp.asarray(img)
+    xp = space_to_depth(x)
+    variables = ref.init(jax.random.PRNGKey(0), x, train=False)
+
+    quant.set_mode('calib')
+    try:
+        _, mut1 = ref.apply(variables, x, train=False, mutable=['quant'])
+        _, mut2 = s2d.apply(variables, xp, train=False, mutable=['quant'])
+    finally:
+        quant.set_mode('off')
+
+    p1 = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+          jax.tree_util.tree_flatten_with_path(mut1['quant'])[0]}
+    p2 = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+          jax.tree_util.tree_flatten_with_path(mut2['quant'])[0]}
+    assert p1.keys() == p2.keys()
+    for k in p1:
+        np.testing.assert_allclose(p2[k], p1[k], rtol=1e-6,
+                                   err_msg=k)
+
+    # And the s2d calib checkpoint actually deploys on the standard
+    # stem in int8 mode (this direction used to KeyError).
+    quant.set_mode('int8')
+    try:
+        y = ref.apply({**variables, 'quant': mut2['quant']}, x,
+                      train=False)
+    finally:
+        quant.set_mode('off')
+    assert np.isfinite(np.asarray(y[0])).all()
