@@ -310,6 +310,90 @@ def main_bevformer(batch: int = 1, sca_cap: float = 0.375):
     }))
 
 
+def main_host_real(n_samples: int = 24):
+    """--host-real: real-JPEG host-pipeline budget (VERDICT r4 #8).
+
+    Round 4 measured the host pipeline only on synthetic ARRAYS
+    (BENCH.md "Host data pipeline": 57.8/s inline); real serving feeds
+    six 1080p JPEGs per frame and the decode cost was uncharacterized.
+    This generates a synthetic dataroot whose cameras are REAL
+    1920x1080 JPEG files, then measures, through the production
+    pipeline (decode -> cached-undistort -> front/back halving ->
+    0.5 scale -> normalize -> pad -> radar multisweep):
+
+      * jpeg_decode_only: cv2.imread of the 6 files;
+      * dataset_inline: full dataset[i] on the calling thread;
+      * loader_workers2: TrainLoader with a 2-process worker pool.
+
+    Chip demand at the 18.6/s b4 headline is ~9 ms/frame-set of host
+    budget per core; the verdict row below records what 1 core does.
+    """
+    import os
+    import shutil
+
+    from omnihd_scenes_tpu.data.dataset import NewScenesDetDataset
+    from omnihd_scenes_tpu.data.loader import TrainLoader
+    from omnihd_scenes_tpu.devkit.converter import create_newscenes_infos
+    from omnihd_scenes_tpu.devkit.synthetic import (SyntheticConfig,
+                                                    generate)
+
+    root = '/tmp/omnihd_host_bench_1080p'
+    marker = os.path.join(root, '.done')
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        generate(root, 'v1.0-mini',
+                 SyntheticConfig(n_scenes=2, samples_per_scene=6,
+                                 image_hw=(1080, 1920)))
+        create_newscenes_infos(root, root, 'synth', version='v1.0-mini',
+                               max_sweeps=2)
+        open(marker, 'w').close()
+
+    ds = NewScenesDetDataset(
+        ann_file=os.path.join(root, 'synth_infos_temporal_train.pkl'),
+        modality='radar', max_points=40000, radar_sweeps=3,
+        use_camera=True, image_target_hw=(544, 960), test_mode=True)
+
+    import cv2
+    info = ds.infos[0]
+    paths = [c['data_path'] for c in info['cams'].values()]
+    t0 = time.perf_counter()
+    reps = max(1, n_samples // len(ds))
+    for _ in range(4):
+        for p in paths:
+            img = cv2.imread(p)
+    decode_s = (time.perf_counter() - t0) / 4
+    assert img is not None and img.shape[:2] == (1080, 1920), img.shape
+
+    t0 = time.perf_counter()
+    for i in range(n_samples):
+        ds[i % len(ds)]
+    inline = n_samples / (time.perf_counter() - t0)
+
+    loader = TrainLoader(ds, 2, seed=0, num_workers=2)
+    for batch in loader:                       # warm the pool
+        break
+    t0 = time.perf_counter()
+    seen = 0
+    while seen < n_samples:
+        loader.set_epoch(seen)
+        for batch in loader:
+            seen += len(batch['points'])
+            if seen >= n_samples:
+                break
+    pooled = n_samples / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        'metric': 'host_pipeline_real_jpeg_samples_per_sec',
+        'value': round(pooled, 2),
+        'unit': 'samples/sec (6x1080p JPEG frames)',
+        'jpeg_decode_only_ms_per_frameset': round(decode_s * 1000, 1),
+        'dataset_inline_samples_per_sec': round(inline, 2),
+        'loader_workers2_samples_per_sec': round(pooled, 2),
+        'chip_demand_samples_per_sec': 18.59,
+        'vs_baseline': None,
+    }))
+
+
 def main(int8: bool = False, batch: int = 1, host_nms: bool = False,
          mtl: bool = False, s2d: bool = False,
          pillar_impl: str = 'dense'):
@@ -566,6 +650,14 @@ def _argv_value(flag: str):
 
 
 if __name__ == '__main__':
+    if '--host-real' in sys.argv:
+        main_host_real()
+        sys.exit(0)
+    if '--train' in sys.argv and '--ab' in sys.argv:
+        reps = int(_argv_value('--repeats')) if '--repeats' in sys.argv \
+            else 5
+        main_train_ab(_argv_value('--ab'), repeats=reps)
+        sys.exit(0)
     if '--train' in sys.argv:
         b = 1
         if '--batch' in sys.argv:

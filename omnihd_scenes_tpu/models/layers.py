@@ -23,19 +23,30 @@ BN_MOMENTUM = 0.99
 
 
 class ConvBNReLU(nn.Module):
-    """Conv2D -> (sync)BN -> ReLU, NHWC."""
+    """Conv2D -> (sync)BN -> ReLU, NHWC.
+
+    Default padding is torch-style symmetric ``k // 2`` rather than
+    flax ``'SAME'``: for stride-1 3x3 convs they are identical, but for
+    strided convs ``'SAME'`` pads asymmetrically ((0, 1) on even
+    extents) while the reference's ``nn.Conv2d(padding=1)`` pads
+    (1, 1) — a one-pixel sampling-grid shift that the full-graph torch
+    parity test (tests/test_full_graph_parity.py) would catch.
+    """
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (1, 1)
-    padding: str | Sequence[Tuple[int, int]] = 'SAME'
+    padding: str | Sequence[Tuple[int, int]] = 'torch'
     use_relu: bool = True
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        padding = self.padding
+        if padding == 'torch':
+            padding = [(k // 2, k // 2) for k in self.kernel_size]
         x = QConv(self.features, self.kernel_size, strides=self.strides,
-                  padding=self.padding, use_bias=False)(x)
+                  padding=padding, use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, axis_name=self.axis_name)(x)
         if self.use_relu:

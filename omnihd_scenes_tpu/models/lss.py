@@ -50,10 +50,17 @@ class LSSConfig:
     #               bev_pool_v2 (XLA scatter-add; slow on TPU).
     splat_mode: str = 'sample'
     # Kernel backend for splat_mode='sample': 'auto' (pallas on TPU,
-    # einsum elsewhere), 'einsum', or 'pallas'.  Use 'einsum' in
-    # GSPMD-sharded (multi-chip pjit) graphs — pallas_call does not
-    # compose with automatic partitioning; einsum partitions natively.
+    # einsum elsewhere), 'einsum', or 'pallas'.
     splat_impl: str = 'auto'
+    # Multi-chip: pallas_call does not compose with GSPMD automatic
+    # partitioning, so under a sharded (pjit) graph the splat region
+    # must be explicitly per-shard.  Set this to the mesh's data axis
+    # name (e.g. 'data') to wrap the per-sample splat loop in
+    # jax.shard_map over that axis (batch is embarrassingly parallel —
+    # each sample's splat touches only its own cameras), registered via
+    # parallel.mesh.set_current_mesh(mesh).  None (default) = no wrap
+    # (single-chip, or einsum under GSPMD which partitions natively).
+    splat_shard_axis: Optional[str] = None
     # Per-camera-slot flag for the sampling transform: True for cameras
     # viewing mostly along BEV x.  Default matches the OmniHD rig order
     # (front, left_front, right_front, back, left_back, right_back at
@@ -279,9 +286,30 @@ class LiftSplatShoot(nn.Module):
         # Static per-sample loop instead of vmap: batch sizes here are
         # small (1-4), and vmap-of-pallas_call breaks this backend's
         # AOT compiler (HTTP 500 from the compile helper).
-        vox = jnp.stack([
-            splat_one(feat[b], depth[b], rots[b], trans[b])
-            for b in range(feat.shape[0])])
+        def splat_batch(feat_b, depth_b, rots_b, trans_b):
+            return jnp.stack([
+                splat_one(feat_b[b], depth_b[b], rots_b[b], trans_b[b])
+                for b in range(feat_b.shape[0])])
+
+        if cfg.splat_shard_axis is not None:
+            # Multi-chip: run the (param-free) splat region explicitly
+            # per data shard so pallas_call never meets the GSPMD
+            # partitioner.  Inside shard_map the leading dim is the
+            # per-shard batch, so the same static loop applies.
+            from jax.sharding import PartitionSpec as _P
+
+            from omnihd_scenes_tpu.parallel.mesh import current_mesh
+            ax = cfg.splat_shard_axis
+            # check_vma=False: the region is collective-free (pure
+            # per-shard compute) and pallas_call's out_shape carries no
+            # varying-mesh-axes annotation for the checker.
+            vox = jax.shard_map(
+                splat_batch, mesh=current_mesh(),
+                in_specs=(_P(ax), _P(ax), _P(ax), _P(ax)),
+                out_specs=_P(ax), check_vma=False)(feat, depth, rots,
+                                                   trans)
+        else:
+            vox = splat_batch(feat, depth, rots, trans)
         # Collapse Z into channels: (B, ny, nx, nz * camC).
         b = vox.shape[0]
         bev = jnp.moveaxis(vox, 1, -2).reshape(b, ny, nx, nz * cfg.camC)

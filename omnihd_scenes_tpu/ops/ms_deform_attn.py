@@ -67,11 +67,100 @@ def bilinear_sample(value: jnp.ndarray, loc_xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(patches * wcell[..., None], axis=(-3, -2))
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# Tables at or below this row count route through the one-hot matmul
+# dual (see _msda_onehot_small_table).  BEVFormer's SCA samples a
+# single stride-32 FPN level — 17x30 = 510 rows at the production
+# 544x960 — so the whole table fits one 512-row padded matmul operand;
+# the BEV-sized tables (TSA/decoder, 38400 rows) stay on the gather
+# path where the dual's W tensor would be larger than the taps.
+ONEHOT_MAX_TABLE = 1024
+
+
+def _msda_onehot_small_table(value: jnp.ndarray,
+                             spatial_shapes,
+                             sampling_locations: jnp.ndarray,
+                             attention_weights: jnp.ndarray,
+                             query_chunk: int = None) -> jnp.ndarray:
+    """One-hot-matmul dual of single-level deformable attention.
+
+    The round-2 gather-floor analysis ("learned offsets have no
+    separable structure to convert into one-hot matmuls") missed that
+    separability is unnecessary when the TABLE is small: fold ALL
+    taps — the 4 bilinear cells x num_points, each scaled by
+    tent x attention weight — into ONE sparse row W(q, h, nk), then
+
+        out(q, h, d) = W(q, h, :) @ value(:, h, d)
+
+    is a dense (nq*nh, nk_pad) x (nk_pad, d) matmul on the MXU.  At the
+    production SCA shape (86400 capped queries x 8 heads x 8 points,
+    nk=510 -> 512) that is ~23 GFLOP per encoder layer instead of 5.5M
+    data-dependent gather rows at the ~20-30 ns/row XLA gather floor
+    (~140 ms) — the same trick that replaced the LSS splat scatter.
+
+    Semantics are bit-compatible with the patch-gather path: same
+    clipped (2,2) patch anchors, same tent weights, OOB taps get zero
+    weight.  Differentiable in locations (through the tent weights) and
+    attention weights, exactly like grid_sample.
+    """
+    (h, w), = spatial_shapes
+    nq, nh, _, np_, _ = sampling_locations.shape
+    head_dim = value.shape[-1]
+    nk = h * w
+    nkp = _round_up(max(nk, 128), 128)
+
+    if query_chunk is None:
+        # Bound the (chunk, nh, np, nkp) tap-weight transient.
+        query_chunk = max(256, int(64e6) // max(nh * np_ * nkp, 1))
+    if nq > query_chunk:
+        n_chunks = -(-nq // query_chunk)
+        pad = n_chunks * query_chunk - nq
+        loc_c = jnp.pad(sampling_locations,
+                        ((0, pad),) + ((0, 0),) * 4).reshape(
+            n_chunks, query_chunk, nh, 1, np_, 2)
+        wgt_c = jnp.pad(attention_weights,
+                        ((0, pad),) + ((0, 0),) * 3).reshape(
+            n_chunks, query_chunk, nh, 1, np_)
+        out = jax.lax.map(
+            lambda lw: _msda_onehot_small_table(
+                value, spatial_shapes, lw[0], lw[1],
+                query_chunk=query_chunk),
+            (loc_c, wgt_c))
+        return out.reshape(n_chunks * query_chunk, nh * head_dim)[:nq]
+
+    loc = sampling_locations[:, :, 0]                 # (nq, nh, np, 2)
+    attn = attention_weights[:, :, 0]                 # (nq, nh, np)
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    xs = jnp.clip(jnp.floor(x), 0, max(w - 2, 0)).astype(jnp.int32)
+    ys = jnp.clip(jnp.floor(y), 0, max(h - 2, 0)).astype(jnp.int32)
+
+    iota = jnp.arange(nkp, dtype=jnp.int32)
+    wmat = jnp.zeros((nq, nh, nkp), jnp.float32)
+    for dy in (0, 1):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (ys + dy)))
+        for dx in (0, 1):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - (xs + dx)))
+            tap_w = wy * wx * attn                    # (nq, nh, np)
+            idx = (ys + dy) * w + (xs + dx)           # (nq, nh, np)
+            onehot = (idx[..., None] == iota).astype(jnp.float32)
+            wmat = wmat + jnp.einsum('qhp,qhpk->qhk', tap_w, onehot)
+
+    v = jnp.pad(value, ((0, nkp - nk), (0, 0), (0, 0)))
+    out = jnp.einsum('qhk,khd->qhd', wmat.astype(value.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(value.dtype).reshape(nq, nh * head_dim)
+
+
 def multi_scale_deformable_attn(value: jnp.ndarray,
                                 spatial_shapes: Sequence[Tuple[int, int]],
                                 sampling_locations: jnp.ndarray,
                                 attention_weights: jnp.ndarray,
-                                query_chunk: int = None) -> jnp.ndarray:
+                                query_chunk: int = None,
+                                impl: str = 'auto') -> jnp.ndarray:
     """Deformable attention for one sample (vmap over batch).
 
     Args:
@@ -92,6 +181,15 @@ def multi_scale_deformable_attn(value: jnp.ndarray,
     """
     nq, nh, nl, np_, _ = sampling_locations.shape
     head_dim = value.shape[-1]
+
+    if impl == 'auto':
+        impl = ('onehot' if (nl == 1 and value.shape[0]
+                             <= ONEHOT_MAX_TABLE) else 'gather')
+    if impl == 'onehot':
+        assert nl == 1, 'onehot dual is single-level'
+        return _msda_onehot_small_table(
+            value, spatial_shapes, sampling_locations, attention_weights,
+            query_chunk=query_chunk)
 
     if query_chunk is None:
         # Bound the materialized patch tensor (nq, nh, np, 2, 2, d) to

@@ -50,3 +50,30 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = 'data') -> dict:
     """Device-put a host batch with the batch dim sharded."""
     sharding = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+# ---------------------------------------------------------------------------
+# Current-mesh registry (for modules that need an explicit mesh, e.g.
+# the shard_map wrapper around the Pallas splat — pallas_call does not
+# compose with GSPMD auto-partitioning, so the kernel region must be
+# explicitly per-shard).  Mirrors the quant-mode global in
+# models/quant.py: process-wide, set by the runner before tracing.
+# ---------------------------------------------------------------------------
+
+_CURRENT_MESH: Optional[Mesh] = None
+
+
+def set_current_mesh(mesh: Optional[Mesh]) -> None:
+    """Register the mesh for shard_map-wrapped kernel regions.
+    Pass None to clear (single-device mode)."""
+    global _CURRENT_MESH
+    _CURRENT_MESH = mesh
+
+
+def current_mesh() -> Mesh:
+    if _CURRENT_MESH is None:
+        raise RuntimeError(
+            'no current mesh: call parallel.mesh.set_current_mesh(mesh) '
+            'before tracing a model configured with a shard_map axis '
+            '(e.g. LSSConfig.splat_shard_axis)')
+    return _CURRENT_MESH

@@ -106,3 +106,74 @@ def test_query_chunking_matches_unchunked():
     g = jax.grad(lambda v: jnp.sum(multi_scale_deformable_attn(
         v, [(h, w)], loc, wgt, query_chunk=16) ** 2))(value)
     assert float(jnp.abs(g).sum()) > 0
+
+
+class TestOnehotDual:
+    """One-hot matmul dual of the small-table single-level attention
+    (the SCA production path) vs the patch-gather reference."""
+
+    def _case(self, nq, shapes, nh=8, d=32, npts=8, seed=0):
+        import numpy as np
+
+        from omnihd_scenes_tpu.ops.ms_deform_attn import (
+            multi_scale_deformable_attn)
+        rng = np.random.RandomState(seed)
+        nk = sum(h * w for h, w in shapes)
+        value = rng.randn(nk, nh, d).astype(np.float32)
+        loc = rng.uniform(-0.2, 1.2,
+                          (nq, nh, len(shapes), npts, 2)).astype(
+                              np.float32)
+        w = rng.rand(nq, nh, len(shapes), npts).astype(np.float32)
+        w /= w.sum(axis=(-2, -1), keepdims=True)
+        want = np.asarray(multi_scale_deformable_attn(
+            value, shapes, loc, w, impl='gather'))
+        got = np.asarray(multi_scale_deformable_attn(
+            value, shapes, loc, w, impl='onehot'))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_matches_gather_small_table(self):
+        self._case(257, ((17, 30),))
+
+    def test_matches_gather_tiny_table(self):
+        self._case(37, ((2, 3),), nh=4, d=8, npts=4)
+
+    def test_chunked_matches(self):
+        import numpy as np
+
+        from omnihd_scenes_tpu.ops.ms_deform_attn import (
+            multi_scale_deformable_attn)
+        rng = np.random.RandomState(3)
+        value = rng.randn(510, 8, 32).astype(np.float32)
+        loc = rng.uniform(0, 1, (1000, 8, 1, 8, 2)).astype(np.float32)
+        w = rng.rand(1000, 8, 1, 8).astype(np.float32)
+        full = np.asarray(multi_scale_deformable_attn(
+            value, ((17, 30),), loc, w, impl='onehot'))
+        chunked = np.asarray(multi_scale_deformable_attn(
+            value, ((17, 30),), loc, w, impl='onehot', query_chunk=128))
+        np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match_gather(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from omnihd_scenes_tpu.ops.ms_deform_attn import (
+            multi_scale_deformable_attn)
+        rng = np.random.RandomState(7)
+        value = rng.randn(24, 4, 8).astype(np.float32)
+        loc = rng.uniform(0.05, 0.95, (19, 4, 1, 4, 2)).astype(np.float32)
+        w = rng.rand(19, 4, 1, 4).astype(np.float32)
+
+        def loss(impl, v, l, ww):
+            out = multi_scale_deformable_attn(v, ((4, 6),), l, ww,
+                                              impl=impl)
+            return jnp.sum(out ** 2)
+
+        for arg in range(3):
+            g_ref = jax.grad(lambda *a: loss('gather', *a), arg)(
+                jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+            g_new = jax.grad(lambda *a: loss('onehot', *a), arg)(
+                jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+            np.testing.assert_allclose(np.asarray(g_new),
+                                       np.asarray(g_ref),
+                                       rtol=1e-4, atol=1e-4)
