@@ -34,10 +34,17 @@ N_ITERS = 16
 
 
 def _train_bench_arm(batch: int, remat: bool,
-                     remat_exclude: tuple = (), remat_parts: tuple = ()):
+                     remat_exclude: tuple = (), remat_parts: tuple = (),
+                     shared: dict = None):
     """Build one train-bench arm: returns ``run()`` that executes one
     timed round (N_ITERS chained steps) and its samples count.  The
-    first call compiles; time only subsequent calls."""
+    first call compiles; time only subsequent calls.
+
+    ``shared``: mutable dict keyed by batch size caching the on-device
+    (params, opt_state, stats, batch) inputs so two same-batch A/B arms
+    reuse ONE copy — both arms read the inputs without donation, and a
+    second resident copy of params + AdamW moments + the b4 image batch
+    (~1 GB) is what pushed the paired b4 A/B over HBM."""
     import jax
     import optax
 
@@ -69,18 +76,24 @@ def _train_bench_arm(batch: int, remat: bool,
     }
     bt['gt_boxes'][..., 3:6] = rng.uniform(1, 4, (b, max_gt, 3))
 
-    variables = model.init(
-        jax.random.PRNGKey(0), bt['points'], bt['points_mask'],
-        bt['imgs'], bt['img2lidar_rots'], bt['img2lidar_trans'],
-        train=False)
     loss_fn = bf16_policy(
         make_loss_fn_generic(model, 'bevfusion', anchors_for(model,
                                                              'bevfusion')))
     tx = optax.adamw(2e-4)
-    params = variables['params']
-    opt_state = tx.init(params)
-    stats = variables.get('batch_stats', {})
-    dev_batch = jax.device_put(bt)
+    cached = shared.get(batch) if shared is not None else None
+    if cached is None:
+        variables = model.init(
+            jax.random.PRNGKey(0), bt['points'], bt['points_mask'],
+            bt['imgs'], bt['img2lidar_rots'], bt['img2lidar_trans'],
+            train=False)
+        params = variables['params']
+        opt_state = tx.init(params)
+        stats = variables.get('batch_stats', {})
+        dev_batch = jax.device_put(bt)
+        if shared is not None:
+            shared[batch] = (params, opt_state, stats, dev_batch)
+    else:
+        params, opt_state, stats, dev_batch = cached
 
     @jax.jit
     def bench_loop(p, o, s, bt):
@@ -175,8 +188,9 @@ def main_train_ab(spec: str, repeats: int = 5):
     """
     sa, sb = spec.split('|')
     ka, kb = _parse_ab_spec(sa), _parse_ab_spec(sb)
-    run_a, samples_a = _train_bench_arm(**ka)
-    run_b, samples_b = _train_bench_arm(**kb)
+    shared = {}
+    run_a, samples_a = _train_bench_arm(**ka, shared=shared)
+    run_b, samples_b = _train_bench_arm(**kb, shared=shared)
     run_a(); run_b()                             # compile both arms
     rates_a, rates_b = [], []
     for _ in range(repeats):
@@ -201,7 +215,7 @@ def main_train_ab(spec: str, repeats: int = 5):
 
 
 def main_bevformer(batch: int = 1, sca_cap: float = 0.375,
-                   r101: bool = False):
+                   r101: bool = False, tsa_impl: str = 'gather'):
     """--bevformer [--batch N]: temporal camera-only flagship
     (BEVFormer-T R50 at production scale) streaming inference.
 
@@ -234,9 +248,9 @@ def main_bevformer(batch: int = 1, sca_cap: float = 0.375,
         # this config had never been compiled or benched on the chip.
         cfg = BEVFormerConfig(sca_query_cap=sca_cap, resnet_depth=101,
                               stage_with_dcn=(False, False, True, True),
-                              img_hw=(864, 1536))
+                              img_hw=(864, 1536), tsa_impl=tsa_impl)
     else:
-        cfg = BEVFormerConfig(sca_query_cap=sca_cap)
+        cfg = BEVFormerConfig(sca_query_cap=sca_cap, tsa_impl=tsa_impl)
     if batch > 1:
         # Preflight: tap tensors scale linearly with the stream count;
         # b4 at production scale is measured to CRASH the TPU worker
@@ -314,6 +328,7 @@ def main_bevformer(batch: int = 1, sca_cap: float = 0.375,
         'value': round(sps, 2),
         'unit': 'samples/sec/chip',
         'batch': b,
+        'tsa_impl': tsa_impl,
         # NOMINAL yardstick (BASELINE.md "BEVFormer-T throughput
         # yardstick"): paper 1.7 FPS V100 for BEVFormer-base, scaled to
         # this config and A100-class ≈ 5 samples/s.
@@ -349,13 +364,18 @@ def main_host_real(n_samples: int = 24):
     from omnihd_scenes_tpu.devkit.synthetic import (SyntheticConfig,
                                                     generate)
 
-    root = '/tmp/omnihd_host_bench_1080p'
+    root = '/tmp/omnihd_host_bench_1080p_dist'
     marker = os.path.join(root, '.done')
     if not os.path.exists(marker):
         shutil.rmtree(root, ignore_errors=True)
+        # Nonzero lens distortion so the bench pays the real rig's
+        # undistort remap (real data always has it; zero-distortion
+        # synthetic would silently skip that branch).
         generate(root, 'v1.0-mini',
                  SyntheticConfig(n_scenes=2, samples_per_scene=6,
-                                 image_hw=(1080, 1920)))
+                                 image_hw=(1080, 1920),
+                                 cam_distortion=(-0.3, 0.1, 0.0, 0.0,
+                                                 0.0)))
         create_newscenes_infos(root, root, 'synth', version='v1.0-mini',
                                max_sweeps=2)
         open(marker, 'w').close()
@@ -364,6 +384,11 @@ def main_host_real(n_samples: int = 24):
         ann_file=os.path.join(root, 'synth_infos_temporal_train.pkl'),
         modality='radar', max_points=40000, radar_sweeps=3,
         use_camera=True, image_target_hw=(544, 960), test_mode=True)
+    ds_fast = NewScenesDetDataset(
+        ann_file=os.path.join(root, 'synth_infos_temporal_train.pkl'),
+        modality='radar', max_points=40000, radar_sweeps=3,
+        use_camera=True, image_target_hw=(544, 960), test_mode=True,
+        image_fast_decode=True)
 
     import cv2
     info = ds.infos[0]
@@ -381,6 +406,12 @@ def main_host_real(n_samples: int = 24):
         ds[i % len(ds)]
     inline = n_samples / (time.perf_counter() - t0)
 
+    ds_fast[0]                                 # build+cache fused maps
+    t0 = time.perf_counter()
+    for i in range(n_samples):
+        ds_fast[i % len(ds_fast)]
+    inline_fast = n_samples / (time.perf_counter() - t0)
+
     loader = TrainLoader(ds, 2, seed=0, num_workers=2)
     for batch in loader:                       # warm the pool
         break
@@ -394,13 +425,30 @@ def main_host_real(n_samples: int = 24):
                 break
     pooled = n_samples / (time.perf_counter() - t0)
 
+    loader_f = TrainLoader(ds_fast, 2, seed=0, num_workers=2)
+    for batch in loader_f:                     # warm the pool
+        break
+    t0 = time.perf_counter()
+    seen = 0
+    while seen < n_samples:
+        loader_f.set_epoch(seen)
+        for batch in loader_f:
+            seen += len(batch['points'])
+            if seen >= n_samples:
+                break
+    pooled_fast = n_samples / (time.perf_counter() - t0)
+
     print(json.dumps({
         'metric': 'host_pipeline_real_jpeg_samples_per_sec',
-        'value': round(pooled, 2),
+        'value': round(pooled_fast, 2),
         'unit': 'samples/sec (6x1080p JPEG frames)',
         'jpeg_decode_only_ms_per_frameset': round(decode_s * 1000, 1),
         'dataset_inline_samples_per_sec': round(inline, 2),
+        'dataset_inline_fast_decode_samples_per_sec': round(
+            inline_fast, 2),
         'loader_workers2_samples_per_sec': round(pooled, 2),
+        'loader_workers2_fast_decode_samples_per_sec': round(
+            pooled_fast, 2),
         'chip_demand_samples_per_sec': 18.59,
         'vs_baseline': None,
     }))
@@ -697,7 +745,11 @@ if __name__ == '__main__':
         cap = 0.375            # --sca-cap 1.0 = masked-dense control
         if '--sca-cap' in sys.argv:
             cap = float(_argv_value('--sca-cap'))
-        main_bevformer(batch=b, sca_cap=cap, r101='--r101' in sys.argv)
+        tsa = 'gather'         # --tsa windowed = tile-local matmul dual
+        if '--tsa' in sys.argv:
+            tsa = _argv_value('--tsa')
+        main_bevformer(batch=b, sca_cap=cap, r101='--r101' in sys.argv,
+                       tsa_impl=tsa)
     else:
         b = 4                  # serving batch (b=8 exceeds HBM;
         #                          b=1 latency mode via --batch 1)

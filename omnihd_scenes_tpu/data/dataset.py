@@ -58,6 +58,7 @@ class NewScenesDetDataset:
                  image_scale: float = 0.5,
                  front_back_scale: float = 0.5,
                  image_target_hw: Optional[Sequence[int]] = None,
+                 image_fast_decode: bool = False,
                  load_depth_gt: bool = False,
                  depth_stride: int = 4,
                  camera_depth_range: Sequence[float] = (1.0, 60.0, 1.0),
@@ -85,6 +86,9 @@ class NewScenesDetDataset:
         self.front_back_scale = front_back_scale
         self.image_target_hw = (tuple(image_target_hw)
                                 if image_target_hw else None)
+        # Serving decode path: reduced-res JPEG decode + fused
+        # undistort/rescale remap (image_loading._load_cam_fast).
+        self.image_fast_decode = image_fast_decode
         self.load_depth_gt = load_depth_gt
         self.depth_stride = depth_stride
         self.camera_depth_range = list(camera_depth_range)
@@ -178,7 +182,8 @@ class NewScenesDetDataset:
 
         cam = load_camera_data(info, scale=self.image_scale,
                                front_back_scale=self.front_back_scale,
-                               target_hw=self.image_target_hw)
+                               target_hw=self.image_target_hw,
+                               fast_decode=self.image_fast_decode)
         if self.load_depth_gt:
             from omnihd_scenes_tpu.data.depth_loading import (
                 gaussian_depth_target, load_gt_depth)

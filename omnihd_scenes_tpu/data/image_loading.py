@@ -63,6 +63,79 @@ def _undistort(img: np.ndarray, intrinsic: np.ndarray,
     return cv2.remap(img, maps[0], maps[1], cv2.INTER_LINEAR)
 
 
+def _fused_rectify_map(intrinsic: np.ndarray, distortion: np.ndarray,
+                       src_hw: Tuple[int, int], net_scale: float,
+                       decode_factor: int, cache_key: tuple):
+    """Single remap: output pixel (at final scale) -> reduced-decode px.
+
+    Folds undistortion and the net downscale into ONE
+    ``initUndistortRectifyMap`` built at the OUTPUT size: the new
+    camera matrix is ``S_net @ K`` so the map's source coordinates are
+    full-resolution pixels, which are then divided by the JPEG
+    reduced-decode factor to sample the small decoded image directly.
+    Replaces {full-res undistort remap, full-res float normalize, one
+    or two cv2.resize passes} of the reference pipeline
+    (``loading.py:362-374`` + ``transform_3d.py`` scale) with one
+    small remap — same linear-interpolation math, composed once.
+    """
+    import cv2
+
+    key = cache_key + (src_hw, round(net_scale, 6), decode_factor, 'fast')
+    maps = _REMAP_CACHE.get(key)
+    if maps is None:
+        k = np.asarray(intrinsic[:3, :3], np.float64)
+        out_wh = (int(src_hw[1] * net_scale), int(src_hw[0] * net_scale))
+        k_new = k.copy()
+        k_new[:2] *= net_scale
+        m1, m2 = cv2.initUndistortRectifyMap(
+            k, np.asarray(distortion, np.float64), None, k_new, out_wh,
+            cv2.CV_32FC1)
+        if decode_factor != 1:
+            m1 = m1 / decode_factor
+            m2 = m2 / decode_factor
+        maps = cv2.convertMaps(m1, m2, cv2.CV_16SC2)
+        _REMAP_CACHE[key] = maps
+    return maps
+
+
+_REDUCED_IMREAD = {2: 'IMREAD_REDUCED_COLOR_2', 4: 'IMREAD_REDUCED_COLOR_4',
+                   8: 'IMREAD_REDUCED_COLOR_8'}
+
+
+def _load_cam_fast(cam_info: Dict, net_scale: float, cache_key: tuple,
+                   viewpad: np.ndarray) -> np.ndarray:
+    """Serving decode path: reduced-res JPEG decode + one fused remap.
+
+    The JPEG decoder downscales in the DCT domain
+    (``IMREAD_REDUCED_COLOR_{2,4,8}``) — for the 1920x1080 cameras at
+    net scale 0.5 (sides) / 0.25 (front/back) the decoded image IS the
+    output grid when distortion is zero, and otherwise feeds one
+    output-sized fused undistort+rescale remap.  uint8 end-to-end;
+    normalization happens once on the small image in the caller.
+    """
+    import cv2
+
+    factor = 1
+    for r in (8, 4, 2):
+        if net_scale <= 1.0 / r:
+            factor = r
+            break
+    img = cv2.imread(cam_info['data_path'],
+                     getattr(cv2, _REDUCED_IMREAD[factor])
+                     if factor != 1 else cv2.IMREAD_COLOR)
+    assert img is not None, cam_info['data_path']
+    src_hw = (img.shape[0] * factor, img.shape[1] * factor)
+    out_wh = (int(src_hw[1] * net_scale), int(src_hw[0] * net_scale))
+    distortion = np.asarray(cam_info['cam_distortion'])
+    if np.any(distortion):
+        maps = _fused_rectify_map(viewpad, distortion, src_hw, net_scale,
+                                  factor, cache_key)
+        img = cv2.remap(img, maps[0], maps[1], cv2.INTER_LINEAR)
+    elif img.shape[1] != out_wh[0] or img.shape[0] != out_wh[1]:
+        img = cv2.resize(img, out_wh)
+    return img
+
+
 def load_camera_data(info: Dict,
                      scale: float = 0.5,
                      front_back_scale: float = 0.5,
@@ -70,7 +143,8 @@ def load_camera_data(info: Dict,
                      mean: Sequence[float] = IMAGENET_MEAN,
                      std: Sequence[float] = IMAGENET_STD,
                      to_rgb: bool = True,
-                     target_hw: Tuple[int, int] = None):
+                     target_hw: Tuple[int, int] = None,
+                     fast_decode: bool = False):
     """Load all cameras of one frame.
 
     Returns dict with:
@@ -84,14 +158,29 @@ def load_camera_data(info: Dict,
     imgs, l2is = [], []
     for cam_type, cam_info in info['cams'].items():
         lidar2img, _, viewpad = build_lidar2img(cam_info)
+        is_fb = cam_type in ('camera_front', 'camera_back')
+        if fast_decode:
+            net = scale * (front_back_scale if is_fb else 1.0)
+            img = _load_cam_fast(cam_info, net,
+                                 (info['scene_token'], cam_type), viewpad)
+            s = np.eye(4)
+            s[0, 0] = s[1, 1] = net
+            lidar2img = s @ lidar2img
+            img = img.astype(np.float32)
+            if to_rgb:
+                img = img[..., ::-1]
+            img = (img - np.asarray(mean, np.float32)) \
+                / np.asarray(std, np.float32)
+            imgs.append(img)
+            l2is.append(lidar2img)
+            continue
         img = cv2.imread(cam_info['data_path'])
         assert img is not None, cam_info['data_path']
         img = _undistort(img, viewpad,
                          np.asarray(cam_info['cam_distortion']),
                          cache_key=(info['scene_token'], cam_type))
 
-        if cam_type in ('camera_front', 'camera_back') \
-                and front_back_scale != 1.0:
+        if is_fb and front_back_scale != 1.0:
             img = cv2.resize(img, (int(img.shape[1] * front_back_scale),
                                    int(img.shape[0] * front_back_scale)))
             s = np.eye(4)

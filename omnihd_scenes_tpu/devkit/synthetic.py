@@ -75,7 +75,8 @@ class SyntheticConfig:
                  image_hw=(108, 192),
                  occ_voxels: int = 64,
                  dt_us: int = 500_000,
-                 seed: int = 0):
+                 seed: int = 0,
+                 cam_distortion=(0.0, 0.0, 0.0, 0.0, 0.0)):
         self.n_scenes = n_scenes
         self.samples_per_scene = samples_per_scene
         self.n_lidar_points = n_lidar_points
@@ -85,6 +86,15 @@ class SyntheticConfig:
         self.occ_voxels = occ_voxels
         self.dt_us = dt_us
         self.seed = seed
+        # Opt-in lens distortion coefficients (k1,k2,p1,p2,k3) written
+        # into the calibration tables.  Default zero: the rendered
+        # images are pinhole, and golden-projection tests assume no
+        # undistortion warp.  Nonzero values exercise the loader's
+        # undistort remap path (host-pipeline benches / fast-vs-slow
+        # decode agreement tests) — the pixels themselves are NOT
+        # re-rendered with distortion, so only use this where the
+        # image-to-GT alignment does not matter.
+        self.cam_distortion = list(cam_distortion)
 
 
 def generate(dataroot: str, version: str = 'v1.0-mini',
@@ -106,7 +116,7 @@ def generate(dataroot: str, version: str = 'v1.0-mini',
     intrinsic = [[w * 0.8, 0.0, w / 2.0],
                  [0.0, w * 0.8, h / 2.0],
                  [0.0, 0.0, 1.0]]
-    distortion = [0.0, 0.0, 0.0, 0.0, 0.0]
+    distortion = list(cfg.cam_distortion)
 
     base_time_us = 1_700_000_000_000_000
 

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from omnihd_scenes_tpu.ops.ms_deform_attn import multi_scale_deformable_attn
+from omnihd_scenes_tpu.ops.ms_deform_attn import (msda_windowed_bev,
+                                                  multi_scale_deformable_attn)
 
 
 def _grid_init_bias(num_heads: int, num_levels_queue: int,
@@ -47,6 +48,43 @@ def _grid_init_bias(num_heads: int, num_levels_queue: int,
     return grid.reshape(-1)
 
 
+def _tsa_windowed_queue(value, hw, loc, wgt, shift, radius,
+                        max_shift=64):
+    """One queue slot of TSA through the tile-local windowed dual.
+
+    The prev-queue reference points carry the GLOBAL ego-motion shift
+    (encoder stacks [shifted-prev, current] refs, reference
+    ``encoder.py:203-211``), which can exceed any reasonable window
+    radius at speed.  Because the shift is constant across queries and
+    known exactly (``shift`` comes from the reference points, not
+    estimated from the learned taps), it is removed exactly before
+    windowing: roll the value map by the integer cell shift with a
+    ``radius``-wide REAL margin (one dynamic_slice of a padded map —
+    cells beyond the nominal grid edge that the residual can reach are
+    rolled-in data, not zeros) and subtract the same integer shift from
+    the sampling locations.  The residual (learned offsets + the <=0.5
+    cell fractional shift) is what the window must cover.
+    """
+    h, w = hw
+    head_dim = value.shape[-1]
+    nh = value.shape[-2]
+    si = jnp.round(shift * jnp.asarray([w, h], jnp.float32))
+    si = jnp.clip(si, -max_shift, max_shift).astype(jnp.int32)
+
+    pad = max_shift + radius
+    vpad = jnp.pad(value.reshape(h, w, nh, head_dim),
+                   ((pad, pad), (pad, pad), (0, 0), (0, 0)))
+    halo = jax.lax.dynamic_slice(
+        vpad, (max_shift + si[1], max_shift + si[0], 0, 0),
+        (h + 2 * radius, w + 2 * radius, nh, head_dim))
+    center = halo[radius:radius + h,
+                  radius:radius + w].reshape(h * w, nh, head_dim)
+    loc_adj = loc - (si.astype(jnp.float32)
+                     / jnp.asarray([w, h], jnp.float32))
+    return msda_windowed_bev(center, ((h, w),), loc_adj, wgt,
+                             radius=radius, halo_map=halo)
+
+
 class TemporalSelfAttention(nn.Module):
     """Deformable self-attention over the (prev, current) BEV queue."""
 
@@ -55,6 +93,12 @@ class TemporalSelfAttention(nn.Module):
     num_levels: int = 1
     num_points: int = 4
     num_bev_queue: int = 2
+    # 'gather' = patch-gather parity path; 'windowed' = tile-local
+    # one-hot matmul dual (ops/ms_deform_attn.py:msda_windowed_bev) —
+    # bit-compatible while learned offsets stay within window_radius-1
+    # cells (guarded by tsa_window_overflow_fraction in serving tests).
+    impl: str = 'gather'
+    window_radius: int = 8
 
     @nn.compact
     def __call__(self, query, value, reference_points, spatial_shapes,
@@ -104,9 +148,21 @@ class TemporalSelfAttention(nn.Module):
         loc = reference_points[:, :, None, :, None, :] \
             + offsets / normalizer[None, None, None, :, None, :]
 
-        out = jax.vmap(
-            lambda vv, ll, ww: multi_scale_deformable_attn(
-                vv, spatial_shapes, ll, ww))(v, loc, weights)
+        if self.impl == 'windowed':
+            (hw,) = tuple(spatial_shapes)
+            # Exact per-queue global shift: reference_points are the
+            # ideal BEV grid plus (for the prev slot) the ego-motion
+            # shift, constant across queries — read it off query 0.
+            grid0 = jnp.asarray([0.5 / hw[1], 0.5 / hw[0]], jnp.float32)
+            shifts = reference_points[:, 0, 0, :] - grid0   # (queue, 2)
+            out = jax.vmap(
+                lambda vv, ll, ww, ss: _tsa_windowed_queue(
+                    vv, hw, ll, ww, ss,
+                    radius=self.window_radius))(v, loc, weights, shifts)
+        else:
+            out = jax.vmap(
+                lambda vv, ll, ww: multi_scale_deformable_attn(
+                    vv, spatial_shapes, ll, ww))(v, loc, weights)
         out = jnp.mean(out, axis=0)                            # queue avg
 
         out = nn.Dense(self.embed_dims, name='output_proj')(out)

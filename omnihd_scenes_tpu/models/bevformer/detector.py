@@ -50,6 +50,11 @@ class BEVFormerConfig:
     # Static per-camera SCA query capacity (fraction of bev_h*bev_w);
     # 1.0 = masked dense.  See SpatialCrossAttention.query_cap.
     sca_query_cap: float = 1.0
+    # TemporalSelfAttention implementation: 'gather' (patch-gather
+    # parity path) or 'windowed' (tile-local one-hot matmul dual with
+    # ego-shift roll; bit-compatible while learned offsets stay within
+    # the window radius — see ops/ms_deform_attn.msda_windowed_bev).
+    tsa_impl: str = 'gather'
 
 
 def grid_mask(imgs: jnp.ndarray, rng_key, ratio: float = 0.5,
@@ -91,7 +96,8 @@ class BEVFormerDetector(nn.Module):
             encoder_layers=self.cfg.encoder_layers,
             decoder_layers=self.cfg.decoder_layers,
             num_cams=self.cfg.num_cams, pc_range=self.cfg.pc_range,
-            sca_query_cap=self.cfg.sca_query_cap)
+            sca_query_cap=self.cfg.sca_query_cap,
+            tsa_impl=self.cfg.tsa_impl)
 
     def extract_img_feat(self, imgs, train: bool = True):
         """(N, H, W, 3) -> list of (N, h, w, C) pyramid levels."""

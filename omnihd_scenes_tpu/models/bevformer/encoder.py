@@ -103,6 +103,7 @@ class BEVFormerLayer(nn.Module):
     sca_points: int = 8
     num_cams: int = 6
     sca_query_cap: float = 1.0
+    tsa_impl: str = 'gather'
 
     @nn.compact
     def __call__(self, bev_query, bev_pos, value_queue, ref_2d_queue,
@@ -110,6 +111,7 @@ class BEVFormerLayer(nn.Module):
                  bev_spatial_shapes, cam_spatial_shapes):
         x = TemporalSelfAttention(
             self.embed_dims, self.num_heads, 1, self.tsa_points,
+            impl=self.tsa_impl,
             name='tsa')(bev_query, value_queue, ref_2d_queue,
                         bev_spatial_shapes, query_pos=bev_pos)
         x = nn.LayerNorm()(x)
@@ -137,6 +139,7 @@ class MMBEVFormerLayer(nn.Module):
     sca_points: int = 8
     num_cams: int = 6
     sca_query_cap: float = 1.0
+    tsa_impl: str = 'gather'
 
     @nn.compact
     def __call__(self, bev_query, bev_pos, value_queue, ref_2d_queue,
@@ -144,6 +147,7 @@ class MMBEVFormerLayer(nn.Module):
                  bev_spatial_shapes, cam_spatial_shapes, lidar_bev):
         x = TemporalSelfAttention(
             self.embed_dims, self.num_heads, 1, self.tsa_points,
+            impl=self.tsa_impl,
             name='tsa')(bev_query, value_queue, ref_2d_queue,
                         bev_spatial_shapes, query_pos=bev_pos)
         x = nn.LayerNorm()(x)
@@ -178,6 +182,7 @@ class BEVFormerEncoder(nn.Module):
     pc_range: Sequence[float] = (-60, -40, -3.0, 60, 40, 5.0)
     num_cams: int = 6
     sca_query_cap: float = 1.0
+    tsa_impl: str = 'gather'
 
     @nn.compact
     def __call__(self, bev_query, bev_pos, cam_values, lidar2img, img_hw,
@@ -220,6 +225,7 @@ class BEVFormerEncoder(nn.Module):
             output = BEVFormerLayer(
                 self.embed_dims, self.num_heads, self.feedforward_channels,
                 num_cams=self.num_cams, sca_query_cap=self.sca_query_cap,
+                tsa_impl=self.tsa_impl,
                 name=f'layer_{i}')(
                     output, bev_pos, value_queue, ref_queue, cam_values,
                     reference_points_cam, bev_mask, bev_spatial_shapes,

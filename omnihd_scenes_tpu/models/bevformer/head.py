@@ -104,6 +104,7 @@ class BEVFormerHead(nn.Module):
     pc_range: Sequence[float] = (-60, -40, -3.0, 60, 40, 5.0)
     code_size: int = 10
     sca_query_cap: float = 1.0
+    tsa_impl: str = 'gather'
 
     def setup(self):
         self.bev_embedding = self.param(
@@ -119,7 +120,7 @@ class BEVFormerHead(nn.Module):
             encoder_layers=self.encoder_layers,
             decoder_layers=self.decoder_layers,
             bev_h=self.bev_h, bev_w=self.bev_w, pc_range=self.pc_range,
-            sca_query_cap=self.sca_query_cap)
+            sca_query_cap=self.sca_query_cap, tsa_impl=self.tsa_impl)
         self.branches = Branches(self.decoder_layers, self.num_classes,
                                  self.code_size, self.embed_dims)
 

@@ -90,6 +90,7 @@ class PerceptionTransformer(nn.Module):
     use_cams_embeds: bool = True
     rotate_prev_bev: bool = True
     sca_query_cap: float = 1.0
+    tsa_impl: str = 'gather'
 
     def setup(self):
         self.level_embeds = self.param(
@@ -106,7 +107,7 @@ class PerceptionTransformer(nn.Module):
             bev_h=self.bev_h, bev_w=self.bev_w,
             num_points_in_pillar=self.num_points_in_pillar,
             pc_range=self.pc_range, num_cams=self.num_cams,
-            sca_query_cap=self.sca_query_cap)
+            sca_query_cap=self.sca_query_cap, tsa_impl=self.tsa_impl)
         self.decoder = DetectionTransformerDecoder(
             num_layers=self.decoder_layers, embed_dims=self.embed_dims)
         self.reference_points_fc = nn.Dense(3)

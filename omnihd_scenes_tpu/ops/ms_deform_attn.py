@@ -155,6 +155,160 @@ def _msda_onehot_small_table(value: jnp.ndarray,
     return out.astype(value.dtype).reshape(nq, nh * head_dim)
 
 
+def msda_windowed_bev(value: jnp.ndarray,
+                      spatial_shapes,
+                      sampling_locations: jnp.ndarray,
+                      attention_weights: jnp.ndarray,
+                      tile: int = 16,
+                      radius: int = 8,
+                      tile_chunk: int = 4,
+                      halo_map: jnp.ndarray = None) -> jnp.ndarray:
+    """Tile-local one-hot dual for GRID-ORDERED queries (TSA/decoder BEV).
+
+    The VERDICT r4 #4 lever: BEV queries are spatially coherent, so a
+    per-tile LOCAL window of the value map bounds each query's sampled
+    support.  Queries are tiled ``tile x tile``; each tile's window is
+    the tile dilated by ``radius`` cells (zero-padded at grid edges),
+    and within a tile the same fold as ``_msda_onehot_small_table``
+    turns all taps into one (q, window) weight row — so the whole layer
+    becomes ``ntiles`` small MXU matmuls instead of millions of
+    data-dependent gather rows.  With tile=16, radius=8 the window is
+    exactly 32x32 = 1024 rows (one padded matmul operand) and the value
+    duplication factor is 4x.
+
+    SEMANTICS: taps whose bilinear support falls outside the query's
+    window contribute ZERO (exactly like grid_sample's out-of-bounds
+    taps).  This equals the gather path whenever every sampling offset
+    stays within ``radius - 1`` cells of the query's own cell — true by
+    construction at the deformable-DETR init (max |offset| = num_points
+    cells) and asserted loudly in serving by
+    :func:`tsa_window_overflow_fraction`.  Queries MUST be in row-major
+    grid order matching the (single-level) value map.
+
+    Args match :func:`multi_scale_deformable_attn` with nl == 1 and
+    nq == H*W.  Returns (nq, nh * head_dim).
+    """
+    (h, w), = spatial_shapes
+    nq, nh, nl, np_, _ = sampling_locations.shape
+    assert nl == 1 and nq == h * w, (nl, nq, h, w)
+    assert h % tile == 0 and w % tile == 0, (h, w, tile)
+    head_dim = value.shape[-1]
+    nty, ntx = h // tile, w // tile
+    ntiles = nty * ntx
+    win = tile + 2 * radius
+    nkw = win * win
+    nkwp = _round_up(max(nkw, 128), 128)
+
+    # Padded value map and per-tile overlapping windows:
+    # (ntiles, win*win, nh, d).  Static slice starts — no gather.
+    # ``halo_map``, when given, is a caller-built (h+2r, w+2r, nh, d)
+    # map whose halo carries REAL neighbor content instead of zeros —
+    # used by the TSA ego-shift roll, where cells beyond the nominal
+    # grid edge are valid rolled-in data, not out-of-bounds.
+    if halo_map is not None:
+        assert halo_map.shape == (h + 2 * radius, w + 2 * radius,
+                                  nh, head_dim), halo_map.shape
+        vpad = halo_map
+    else:
+        vmap2d = value.reshape(h, w, nh, head_dim)
+        vpad = jnp.pad(vmap2d, ((radius, radius), (radius, radius),
+                                (0, 0), (0, 0)))
+    starts = [(ty * tile, tx * tile) for ty in range(nty)
+              for tx in range(ntx)]
+    windows = jnp.stack([
+        jax.lax.dynamic_slice(vpad, (sy, sx, 0, 0),
+                              (win, win, nh, head_dim))
+        for sy, sx in starts]).reshape(ntiles, nkw, nh, head_dim)
+    windows = jnp.pad(windows, ((0, 0), (0, nkwp - nkw), (0, 0), (0, 0)))
+
+    # Queries regrouped into tiles: (ntiles, tile*tile, ...).
+    def tile_q(a):
+        a = a.reshape((nty, tile, ntx, tile) + a.shape[1:])
+        a = jnp.moveaxis(a, 2, 1)
+        return a.reshape((ntiles, tile * tile) + a.shape[4:])
+
+    loc = tile_q(sampling_locations[:, :, 0])     # (nt, qt, nh, np, 2)
+    attn = tile_q(attention_weights[:, :, 0])     # (nt, qt, nh, np)
+
+    # Window origins in absolute pixel coords (top-left texel center of
+    # window cell (0,0) sits at (sy - radius, sx - radius)).
+    oy = jnp.asarray([s[0] - radius for s in starts], jnp.float32)
+    ox = jnp.asarray([s[1] - radius for s in starts], jnp.float32)
+
+    iota = jnp.arange(nkwp, dtype=jnp.int32)
+
+    def one_chunk(args):
+        loc_c, attn_c, oy_c, ox_c, win_c = args
+        # Window-local continuous coords.
+        x = loc_c[..., 0] * w - 0.5 - ox_c[:, None, None, None]
+        y = loc_c[..., 1] * h - 0.5 - oy_c[:, None, None, None]
+        xs = jnp.floor(x).astype(jnp.int32)
+        ys = jnp.floor(y).astype(jnp.int32)
+        # Out-of-window anchors clamp to the window border; their tent
+        # weight is then 0 (|x - cell| >= 1), reproducing the
+        # zero-outside-window semantics without branches.
+        xs = jnp.clip(xs, 0, win - 2)
+        ys = jnp.clip(ys, 0, win - 2)
+        wmat = jnp.zeros(loc_c.shape[:3] + (nkwp,), jnp.float32)
+        for dy in (0, 1):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (ys + dy)))
+            for dx in (0, 1):
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - (xs + dx)))
+                tap_w = wy * wx * attn_c              # (nt, qt, nh, np)
+                idx = (ys + dy) * win + (xs + dx)
+                onehot = (idx[..., None] == iota).astype(jnp.float32)
+                wmat = wmat + jnp.einsum('tqhp,tqhpk->tqhk', tap_w,
+                                         onehot)
+        return jnp.einsum('tqhk,tkhd->tqhd', wmat.astype(win_c.dtype),
+                          win_c, preferred_element_type=jnp.float32)
+
+    nchunks = -(-ntiles // tile_chunk)
+    padt = nchunks * tile_chunk - ntiles
+
+    def padtile(a):
+        return jnp.pad(a, ((0, padt),) + ((0, 0),) * (a.ndim - 1)).reshape(
+            (nchunks, tile_chunk) + a.shape[1:])
+
+    out = jax.lax.map(one_chunk, (padtile(loc), padtile(attn),
+                                  padtile(oy), padtile(ox),
+                                  padtile(windows)))
+    out = out.reshape(nchunks * tile_chunk, tile * tile, nh, head_dim)
+    out = out[:ntiles].astype(value.dtype)
+
+    # Un-tile back to row-major query order.
+    out = out.reshape(nty, ntx, tile, tile, nh, head_dim)
+    out = jnp.moveaxis(out, 2, 1).reshape(nq, nh * head_dim)
+    return out
+
+
+def tsa_window_overflow_fraction(sampling_locations: jnp.ndarray,
+                                 spatial_shapes,
+                                 radius: int = 8) -> jnp.ndarray:
+    """Fraction of taps whose support exceeds the windowed-dual radius.
+
+    Serving guard for ``msda_windowed_bev`` (mirrors the SCA query-cap
+    overflow check): the windowed dual is bit-compatible with the
+    gather path iff every tap's bilinear support stays within
+    ``radius`` cells of its query's own cell.  Grid-ordered queries
+    assumed.
+    """
+    (h, w), = spatial_shapes
+    nq = sampling_locations.shape[0]
+    assert nq == h * w
+    qy = (jnp.arange(nq) // w).astype(jnp.float32)
+    qx = (jnp.arange(nq) % w).astype(jnp.float32)
+    x = sampling_locations[..., 0] * w - 0.5
+    y = sampling_locations[..., 1] * h - 0.5
+    # Support cell range [floor(v), floor(v)+1]; window covers
+    # [qcell - radius, qcell + tile_pos + radius] — conservative bound:
+    # |sample - query cell| <= radius - 1 guarantees containment for
+    # any position of the query inside its tile.
+    dx = jnp.abs(x - qx[:, None, None, None])
+    dy = jnp.abs(y - qy[:, None, None, None])
+    over = jnp.maximum(dx, dy) > (radius - 1)
+    return jnp.mean(over.astype(jnp.float32))
+
+
 def multi_scale_deformable_attn(value: jnp.ndarray,
                                 spatial_shapes: Sequence[Tuple[int, int]],
                                 sampling_locations: jnp.ndarray,

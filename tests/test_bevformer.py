@@ -323,3 +323,41 @@ class TestBatchedStreamingEval:
             np.testing.assert_allclose(a['scores'], b['scores'],
                                        rtol=1e-4, atol=1e-4)
             np.testing.assert_array_equal(a['labels'], b['labels'])
+
+
+class TestWindowedTSA:
+    """tsa_impl='windowed' (tile-local one-hot dual + ego-shift roll)
+    must reproduce the gather path bit-closely whenever the learned
+    offsets stay within the window radius — true at the deformable-DETR
+    init (max |offset| = num_points = 4 cells < radius - 1 = 7)."""
+
+    CFG_G = BEVFormerConfig(
+        bev_h=16, bev_w=16, num_query=16, embed_dims=32,
+        encoder_layers=2, decoder_layers=1, num_cams=2, queue_length=2,
+        pc_range=(-8, -8, -3.0, 8, 8, 5.0),
+        resnet_depth=18, resnet_out_indices=(3,), img_hw=(32, 48))
+
+    def test_matches_gather_forward(self):
+        import dataclasses
+        cfg_w = dataclasses.replace(self.CFG_G, tsa_impl='windowed')
+        model_g = BEVFormerDetector(self.CFG_G)
+        model_w = BEVFormerDetector(cfg_w)
+        rng = np.random.RandomState(1)
+        q, n = 2, 2
+        imgs = rng.randn(q, n, 32, 48, 3).astype(np.float32)
+        can_bus = np.zeros((q, 18), np.float32)
+        can_bus[:, 0] = 1.7    # forward ego motion -> nonzero roll
+        l2i = np.stack([_lidar2img(n)] * q)
+        has_prev = np.array([False, True])
+        variables = model_g.init(jax.random.PRNGKey(0), imgs, can_bus,
+                                 l2i, has_prev, train=False)
+        out_g = model_g.apply(variables, imgs, can_bus, l2i, has_prev,
+                              train=False)
+        out_w = model_w.apply(variables, imgs, can_bus, l2i, has_prev,
+                              train=False)
+        np.testing.assert_allclose(np.asarray(out_w['bev_embed']),
+                                   np.asarray(out_g['bev_embed']),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out_w['all_bbox_preds']),
+                                   np.asarray(out_g['all_bbox_preds']),
+                                   rtol=2e-4, atol=2e-4)

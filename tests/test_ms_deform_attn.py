@@ -177,3 +177,100 @@ class TestOnehotDual:
             np.testing.assert_allclose(np.asarray(g_new),
                                        np.asarray(g_ref),
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestWindowedDual:
+    """Tile-local one-hot dual for grid-ordered queries (the TSA
+    production path) vs the patch-gather reference.
+
+    Lossless condition: every tap's support within ``radius - 1`` cells
+    of its query's own cell (``tsa_window_overflow_fraction`` == 0);
+    taps beyond the window contribute zero by design.
+    """
+
+    def _grid_refs(self, h, w):
+        import numpy as np
+        ys = (np.arange(h) + 0.5) / h
+        xs = (np.arange(w) + 0.5) / w
+        gx, gy = np.meshgrid(xs, ys)
+        return np.stack([gx.ravel(), gy.ravel()], -1)  # (h*w, 2) in [0,1]
+
+    def _case(self, h, w, tile, radius, off_cells, nh=4, d=8, npts=4,
+              seed=0, expect_equal=True):
+        import numpy as np
+
+        from omnihd_scenes_tpu.ops.ms_deform_attn import (
+            msda_windowed_bev, multi_scale_deformable_attn,
+            tsa_window_overflow_fraction)
+        rng = np.random.RandomState(seed)
+        value = rng.randn(h * w, nh, d).astype(np.float32)
+        refs = self._grid_refs(h, w)[:, None, None, None, :]
+        off = rng.uniform(-off_cells, off_cells,
+                          (h * w, nh, 1, npts, 2)).astype(np.float32)
+        loc = (refs + off / np.asarray([w, h])).astype(np.float32)
+        wgt = rng.rand(h * w, nh, 1, npts).astype(np.float32)
+        wgt /= wgt.sum(axis=(-2, -1), keepdims=True)
+        want = np.asarray(multi_scale_deformable_attn(
+            value, ((h, w),), loc, wgt, impl='gather'))
+        got = np.asarray(msda_windowed_bev(
+            value, ((h, w),), loc, wgt, tile=tile, radius=radius,
+            tile_chunk=3))
+        overflow = float(tsa_window_overflow_fraction(
+            loc, ((h, w),), radius=radius))
+        if expect_equal:
+            assert overflow == 0.0, overflow
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        else:
+            assert overflow > 0.0
+            # Windowed zeroes the out-of-window taps -> must differ.
+            assert np.abs(got - want).max() > 1e-4
+
+    def test_matches_gather_within_radius(self):
+        self._case(16, 24, tile=8, radius=4, off_cells=2.5)
+
+    def test_matches_gather_edge_samples(self):
+        # Offsets pushing supports off the TABLE edge: both paths give
+        # zero for OOB taps.
+        self._case(8, 16, tile=8, radius=4, off_cells=2.9, seed=3)
+
+    def test_production_geometry(self):
+        # 160x240 is divisible by tile 16; run a downscaled replica
+        # with the production tile/radius ratio.
+        self._case(32, 48, tile=16, radius=8, off_cells=6.0, seed=1)
+
+    def test_overflow_taps_zeroed(self):
+        self._case(16, 24, tile=8, radius=4, off_cells=9.0, seed=2,
+                   expect_equal=False)
+
+    def test_gradients_match_gather(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from omnihd_scenes_tpu.ops.ms_deform_attn import (
+            msda_windowed_bev, multi_scale_deformable_attn)
+        rng = np.random.RandomState(5)
+        h, w, nh, d, npts = 8, 16, 4, 8, 4
+        value = rng.randn(h * w, nh, d).astype(np.float32)
+        refs = self._grid_refs(h, w)[:, None, None, None, :]
+        off = rng.uniform(-2, 2, (h * w, nh, 1, npts, 2))
+        loc = (refs + off / np.asarray([w, h])).astype(np.float32)
+        wgt = rng.rand(h * w, nh, 1, npts).astype(np.float32)
+
+        def loss(fn, v, l, ww):
+            return jnp.sum(fn(v, ((h, w),), l, ww) ** 2)
+
+        gather = lambda v, s, l, ww: multi_scale_deformable_attn(
+            v, s, l, ww, impl='gather')
+        windowed = lambda v, s, l, ww: msda_windowed_bev(
+            v, s, l, ww, tile=8, radius=4, tile_chunk=2)
+        for arg in range(3):
+            g_ref = jax.grad(
+                lambda *a: loss(gather, *a), arg)(
+                jnp.asarray(value), jnp.asarray(loc), jnp.asarray(wgt))
+            g_new = jax.grad(
+                lambda *a: loss(windowed, *a), arg)(
+                jnp.asarray(value), jnp.asarray(loc), jnp.asarray(wgt))
+            np.testing.assert_allclose(np.asarray(g_new),
+                                       np.asarray(g_ref),
+                                       rtol=5e-4, atol=5e-4)
