@@ -745,7 +745,11 @@ if __name__ == '__main__':
         cap = 0.375            # --sca-cap 1.0 = masked-dense control
         if '--sca-cap' in sys.argv:
             cap = float(_argv_value('--sca-cap'))
-        tsa = 'gather'         # --tsa windowed = tile-local matmul dual
+        # Serving default: tile-local windowed one-hot dual (2.09 ->
+        # 4.10 samples/s, BENCH.md r5).  Exact at the deformable-DETR
+        # init used here; per-checkpoint exactness is guarded in real
+        # serving by make_tsa_overflow_probe.  --tsa gather = control.
+        tsa = 'windowed'
         if '--tsa' in sys.argv:
             tsa = _argv_value('--tsa')
         main_bevformer(batch=b, sca_cap=cap, r101='--r101' in sys.argv,

@@ -81,8 +81,11 @@ def _tsa_windowed_queue(value, hw, loc, wgt, shift, radius,
                   radius:radius + w].reshape(h * w, nh, head_dim)
     loc_adj = loc - (si.astype(jnp.float32)
                      / jnp.asarray([w, h], jnp.float32))
+    # Largest tile (<=16) dividing the grid: production 160x240 -> 16;
+    # small CI grids (e.g. 16x24) -> 8.
+    tile = next(t for t in (16, 8, 4, 2, 1) if h % t == 0 and w % t == 0)
     return msda_windowed_bev(center, ((h, w),), loc_adj, wgt,
-                             radius=radius, halo_map=halo)
+                             tile=tile, radius=radius, halo_map=halo)
 
 
 class TemporalSelfAttention(nn.Module):
@@ -159,6 +162,21 @@ class TemporalSelfAttention(nn.Module):
                 lambda vv, ll, ww, ss: _tsa_windowed_queue(
                     vv, hw, ll, ww, ss,
                     radius=self.window_radius))(v, loc, weights, shifts)
+            # Serving guard (mirrors the SCA query-cap preflight): the
+            # dual zeroes taps whose LEARNED residual exceeds the
+            # window — record the overflowing-tap fraction so eval
+            # entry points can fail loudly per checkpoint (read with
+            # mutable=['intermediates']; free otherwise).
+            from omnihd_scenes_tpu.ops.ms_deform_attn import (
+                tsa_window_overflow_fraction)
+            wh = jnp.asarray([hw[1], hw[0]], jnp.float32)
+            si = jnp.clip(jnp.round(shifts * wh), -64, 64) / wh
+            res = loc - si[:, None, None, None, None, :]  # same integer
+            #                       shift removal as _tsa_windowed_queue
+            ov = jax.vmap(lambda ll: tsa_window_overflow_fraction(
+                ll, (hw,), radius=self.window_radius))(res)
+            self.sow('intermediates', 'tsa_window_overflow',
+                     jnp.max(ov))
         else:
             out = jax.vmap(
                 lambda vv, ll, ww: multi_scale_deformable_attn(

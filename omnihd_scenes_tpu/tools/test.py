@@ -188,8 +188,18 @@ def main():
         else:
             predict_stream = make_predict_fn_generic(
                 model, mtype, extra_variables=quant_vars)
+            probe = None
+            if getattr(model.cfg, 'tsa_impl', 'gather') == 'windowed':
+                # Checkpoint guard: the windowed TSA dual is exact only
+                # while the LEARNED offsets stay in-window; probe on the
+                # live stream and fail loudly (see eval_runner).
+                from omnihd_scenes_tpu.train.builder import (
+                    make_tsa_overflow_probe)
+                probe = make_tsa_overflow_probe(
+                    model, extra_variables=quant_vars)
             bbox_results = run_streaming_inference(predict_stream, state,
-                                                   dataset, bev_shape)
+                                                   dataset, bev_shape,
+                                                   overflow_probe=probe)
         outputs = {'bbox_results': bbox_results, 'occ_results': None}
     else:
         predict_fn = make_predict_fn_generic(

@@ -298,6 +298,36 @@ def make_predict_fn_generic(model, mtype: str, anchors_np: np.ndarray = None,
     return predict_with_anchors
 
 
+def make_tsa_overflow_probe(model, extra_variables: dict = None):
+    """Jitted checkpoint guard for ``tsa_impl='windowed'`` serving.
+
+    The windowed TSA dual zeroes any tap whose LEARNED offset leaves
+    the tile window (``ops/ms_deform_attn.msda_windowed_bev``); unlike
+    the SCA query cap the condition depends on trained weights and live
+    inputs, so eval runners probe it on the REAL streamed state: this
+    returns ``fn(params, batch_stats, imgs, can_bus, lidar2img,
+    prev_bev, has_prev) -> max overflowing-tap fraction`` across all
+    encoder layers (0.0 == bit-compatible with the gather path; the
+    scalar is sown by ``TemporalSelfAttention``).
+    """
+    extra = extra_variables or {}
+
+    def _probe(params, batch_stats, imgs, can_bus, lidar2img, prev_bev,
+               has_prev):
+        _, inter = model.apply(
+            {'params': params, 'batch_stats': batch_stats, **extra},
+            imgs, can_bus, lidar2img, prev_bev, has_prev,
+            method=BEVFormerDetector.forward_stream,
+            mutable=['intermediates'])
+        leaves = [v for p, v in jax.tree_util.tree_leaves_with_path(
+            inter['intermediates'])
+            if 'tsa_window_overflow' in jax.tree_util.keystr(p)]
+        assert leaves, 'model has no windowed TSA layers'
+        return jnp.max(jnp.stack([jnp.max(l) for l in leaves]))
+
+    return jax.jit(_probe)
+
+
 def make_predict_stream_batched(model, nms_free_cfg=None,
                                 extra_variables: dict = None):
     """Batched (scene-parallel) BEVFormer streaming inference: one

@@ -43,18 +43,31 @@ def run_inference_generic(predict_fn, state, dataset, batch_size: int,
 
 
 def run_streaming_inference(predict_stream, state, dataset,
-                            bev_shape) -> List[Dict]:
+                            bev_shape, overflow_probe=None,
+                            probe_every: int = 10) -> List[Dict]:
     """BEVFormer test-time recurrence: strictly in dataset (temporal)
-    order with host-side prev_bev state (reference prev_frame_info)."""
+    order with host-side prev_bev state (reference prev_frame_info).
+
+    ``overflow_probe`` (``builder.make_tsa_overflow_probe``): when the
+    model serves the windowed TSA dual, every ``probe_every``-th sample
+    is re-run with intermediates to measure the learned-offset window
+    overflow on the LIVE streamed state; a nonzero max raises — the
+    checkpoint needs the gather path (or a larger window_radius)."""
     from omnihd_scenes_tpu.data.temporal_dataset import StreamingEvalState
 
     stream = StreamingEvalState(bev_shape)
     results = []
+    max_overflow = 0.0
     for idx in range(len(dataset)):
         sample = dataset[idx]
         info = dataset.infos[idx]
         cb, has_prev = stream.prepare(sample['can_bus'],
                                       info['scene_token'])
+        if overflow_probe is not None and idx % probe_every == 0:
+            max_overflow = max(max_overflow, float(overflow_probe(
+                state.params, state.batch_stats, sample['imgs'], cb,
+                sample['lidar2img'], stream.prev_bev,
+                np.asarray(has_prev))))
         (boxes, scores, labels, valid), bev = predict_stream(
             state.params, state.batch_stats, sample['imgs'], cb,
             sample['lidar2img'], stream.prev_bev, np.asarray(has_prev))
@@ -63,6 +76,12 @@ def run_streaming_inference(predict_stream, state, dataset,
                         'scores': np.asarray(scores),
                         'labels': np.asarray(labels),
                         'valid': np.asarray(valid)})
+    if max_overflow > 0.0:
+        raise ValueError(
+            f'windowed TSA overflow: {max_overflow:.2e} of taps leave '
+            'the window for this checkpoint — serve tsa_impl="gather" '
+            'or raise window_radius (results would NOT match the '
+            'reference formulation)')
     return results
 
 

@@ -361,3 +361,63 @@ class TestWindowedTSA:
         np.testing.assert_allclose(np.asarray(out_w['all_bbox_preds']),
                                    np.asarray(out_g['all_bbox_preds']),
                                    rtol=2e-4, atol=2e-4)
+
+    def test_overflow_probe_guards_checkpoint(self):
+        """make_tsa_overflow_probe: 0 at the deformable-DETR init;
+        nonzero (and run_streaming_inference raises) once the learned
+        offsets are boosted past the window radius."""
+        import dataclasses
+
+        from omnihd_scenes_tpu.train.builder import (
+            make_predict_fn_generic, make_tsa_overflow_probe)
+        from omnihd_scenes_tpu.train.eval_runner import (
+            run_streaming_inference)
+
+        cfg_w = dataclasses.replace(self.CFG_G, tsa_impl='windowed')
+        model = BEVFormerDetector(cfg_w)
+        rng = np.random.RandomState(0)
+        n = 2
+        imgs = rng.randn(n, 32, 48, 3).astype(np.float32)
+        can_bus = np.zeros(18, np.float32)
+        l2i = _lidar2img(n)
+        prev = np.zeros((16 * 16, 32), np.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), imgs, can_bus, l2i, prev,
+            np.asarray(True), method=BEVFormerDetector.forward_stream)
+        probe = make_tsa_overflow_probe(model)
+        ov0 = float(probe(variables['params'],
+                          variables.get('batch_stats', {}), imgs,
+                          can_bus, l2i, prev, np.asarray(True)))
+        assert ov0 == 0.0, ov0
+
+        # Boost every TSA sampling_offsets bias past the window.
+        import flax
+        flat = flax.traverse_util.flatten_dict(variables['params'])
+        boosted = {k: (v * 40.0 if ('tsa' in '/'.join(k)
+                                    and k[-2] == 'sampling_offsets'
+                                    and k[-1] == 'bias') else v)
+                   for k, v in flat.items()}
+        params_b = flax.traverse_util.unflatten_dict(boosted)
+        ovb = float(probe(params_b, variables.get('batch_stats', {}),
+                          imgs, can_bus, l2i, prev, np.asarray(True)))
+        assert ovb > 0.0, ovb
+
+        class _State:
+            params = params_b
+            batch_stats = variables.get('batch_stats', {})
+
+        class _DS:
+            infos = [{'scene_token': 's0', 'can_bus': np.zeros(18)}]
+
+            def __len__(self):
+                return 1
+
+            def __getitem__(self, i):
+                return {'imgs': imgs, 'can_bus': np.zeros(18, np.float32),
+                        'lidar2img': l2i}
+
+        predict = make_predict_fn_generic(model, 'bevformer')
+        with pytest.raises(ValueError, match='windowed TSA overflow'):
+            run_streaming_inference(predict, _State, _DS(),
+                                    (16 * 16, 32),
+                                    overflow_probe=probe, probe_every=1)
