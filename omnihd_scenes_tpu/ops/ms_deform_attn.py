@@ -102,9 +102,22 @@ def _msda_onehot_small_table(value: jnp.ndarray,
     (~140 ms) — the same trick that replaced the LSS splat scatter.
 
     Semantics are bit-compatible with the patch-gather path: same
-    clipped (2,2) patch anchors, same tent weights, OOB taps get zero
-    weight.  Differentiable in locations (through the tent weights) and
-    attention weights, exactly like grid_sample.
+    tent weights, OOB taps get zero weight.  Differentiable in
+    locations (through the tent weights) and attention weights, exactly
+    like grid_sample.
+
+    The W row is built SEPARABLY (round-5): the bilinear tap weight
+    factorizes as ``tent(y - i) * tent(x - j)``, so instead of
+    materializing a (q, nh, np, nk) one-hot per bilinear corner (the
+    HBM-bound term the round-5 encoder probe measured), W folds as an
+    outer product of two tent matrices of support h + w,
+
+        W(q, h, i, j) = sum_p [attn_p * tent_y(p, i)] * tent_x(p, j),
+
+    a K=np matmul whose operands are ~nk/(h+w) times smaller than the
+    one-hot tensor.  Tents evaluated over the full axis reproduce the
+    (2,2)-corner weights exactly, including partial corners at the
+    table border and zero for fully-OOB taps.
     """
     (h, w), = spatial_shapes
     nq, nh, _, np_, _ = sampling_locations.shape
@@ -113,8 +126,9 @@ def _msda_onehot_small_table(value: jnp.ndarray,
     nkp = _round_up(max(nk, 128), 128)
 
     if query_chunk is None:
-        # Bound the (chunk, nh, np, nkp) tap-weight transient.
-        query_chunk = max(256, int(64e6) // max(nh * np_ * nkp, 1))
+        # Bound the (chunk, nh, nkp) folded-weight transient (the
+        # largest intermediate in the separable construction).
+        query_chunk = max(256, int(64e6) // max(nh * nkp, 1))
     if nq > query_chunk:
         n_chunks = -(-nq // query_chunk)
         pad = n_chunks * query_chunk - nq
@@ -135,19 +149,18 @@ def _msda_onehot_small_table(value: jnp.ndarray,
     attn = attention_weights[:, :, 0]                 # (nq, nh, np)
     x = loc[..., 0] * w - 0.5
     y = loc[..., 1] * h - 0.5
-    xs = jnp.clip(jnp.floor(x), 0, max(w - 2, 0)).astype(jnp.int32)
-    ys = jnp.clip(jnp.floor(y), 0, max(h - 2, 0)).astype(jnp.int32)
 
-    iota = jnp.arange(nkp, dtype=jnp.int32)
-    wmat = jnp.zeros((nq, nh, nkp), jnp.float32)
-    for dy in (0, 1):
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (ys + dy)))
-        for dx in (0, 1):
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - (xs + dx)))
-            tap_w = wy * wx * attn                    # (nq, nh, np)
-            idx = (ys + dy) * w + (xs + dx)           # (nq, nh, np)
-            onehot = (idx[..., None] == iota).astype(jnp.float32)
-            wmat = wmat + jnp.einsum('qhp,qhpk->qhk', tap_w, onehot)
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(
+        y[..., None] - jnp.arange(h, dtype=y.dtype)))  # (nq, nh, np, h)
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(
+        x[..., None] - jnp.arange(w, dtype=x.dtype)))  # (nq, nh, np, w)
+    # Broadcast-multiply + reduce over p, NOT an einsum: a dot with
+    # K=np (4-8) runs the MXU at <6% utilization; the mul+sum fuses on
+    # the VPU and only the (nq, nh, nk) result hits HBM.
+    wmat = jnp.sum((ty * attn[..., None])[..., :, None]
+                   * tx[..., None, :], axis=-3)        # (nq, nh, h, w)
+    wmat = wmat.reshape(nq, nh, nk)
+    wmat = jnp.pad(wmat, ((0, 0), (0, 0), (0, nkp - nk)))
 
     v = jnp.pad(value, ((0, nkp - nk), (0, 0), (0, 0)))
     out = jnp.einsum('qhk,khd->qhd', wmat.astype(value.dtype), v,
@@ -235,30 +248,27 @@ def msda_windowed_bev(value: jnp.ndarray,
     oy = jnp.asarray([s[0] - radius for s in starts], jnp.float32)
     ox = jnp.asarray([s[1] - radius for s in starts], jnp.float32)
 
-    iota = jnp.arange(nkwp, dtype=jnp.int32)
-
     def one_chunk(args):
         loc_c, attn_c, oy_c, ox_c, win_c = args
         # Window-local continuous coords.
         x = loc_c[..., 0] * w - 0.5 - ox_c[:, None, None, None]
         y = loc_c[..., 1] * h - 0.5 - oy_c[:, None, None, None]
-        xs = jnp.floor(x).astype(jnp.int32)
-        ys = jnp.floor(y).astype(jnp.int32)
-        # Out-of-window anchors clamp to the window border; their tent
-        # weight is then 0 (|x - cell| >= 1), reproducing the
-        # zero-outside-window semantics without branches.
-        xs = jnp.clip(xs, 0, win - 2)
-        ys = jnp.clip(ys, 0, win - 2)
-        wmat = jnp.zeros(loc_c.shape[:3] + (nkwp,), jnp.float32)
-        for dy in (0, 1):
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (ys + dy)))
-            for dx in (0, 1):
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - (xs + dx)))
-                tap_w = wy * wx * attn_c              # (nt, qt, nh, np)
-                idx = (ys + dy) * win + (xs + dx)
-                onehot = (idx[..., None] == iota).astype(jnp.float32)
-                wmat = wmat + jnp.einsum('tqhp,tqhpk->tqhk', tap_w,
-                                         onehot)
+        # Separable tent fold (see _msda_onehot_small_table): the
+        # (nt, qt, nh, np, win*win) one-hot transient collapses to two
+        # (.., win) tent matrices and a K=np outer-product matmul.
+        # Tents over the full window axis reproduce the bilinear corner
+        # weights exactly; taps outside the window get zero weight —
+        # the documented windowed semantics — with no clip branches.
+        iw = jnp.arange(win, dtype=x.dtype)
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - iw))
+        tx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - iw))
+        # mul+reduce over p on the VPU (see _msda_onehot_small_table:
+        # a K=np dot would waste the MXU); fuses to one (.., win, win)
+        # write.
+        wmat = jnp.sum((ty * attn_c[..., None])[..., :, None]
+                       * tx[..., None, :], axis=-3)
+        wmat = wmat.reshape(wmat.shape[:3] + (nkw,))
+        wmat = jnp.pad(wmat, ((0, 0),) * 3 + ((0, nkwp - nkw),))
         return jnp.einsum('tqhk,tkhd->tqhd', wmat.astype(win_c.dtype),
                           win_c, preferred_element_type=jnp.float32)
 
